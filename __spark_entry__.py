@@ -1,38 +1,131 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay end-to-end through the real
+engine (changelog → micro-batch MERGE into a LakeTable → converged snapshot).
+``queries()`` / ``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from data_sync_tool_spark.operators.dedupe import lww_dedupe, replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable
+from data_sync_tool_spark.sources.registry import (
+    CHANGELOG_SELECT_SQL,
+    changelog,
+    read_table,
+    register_views,
+)
+
+_FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# The changelog body is shared verbatim between Spark and DuckDB (ANSI-only
+# constructs), so CDC oracles are WITH-wrapped around the same text.
+_CHANGELOG_CTE = f"WITH changes AS ({CHANGELOG_SELECT_SQL})"
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the sf0.001 change stream through 4 micro-batch
+    MERGEs into a lake table; return the converged transcript snapshot."""
+    sf_dir = "/root/testdata/sf0.001"
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="dst_entry_"), ["conv_id", "turn_idx"], n_buckets=16
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 4)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"entry-batch-{i}")
+    return table.read().select(*_FINAL_COLS)
+
+
+# ------------------------------------------------------------------- queries
+
+def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: micro-batched MERGE replay, converged final state."""
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="dst_q_"), ["conv_id", "turn_idx"],
+        n_buckets=32, checksum=False,
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 4)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"q-batch-{i}")
+    return table.read().select(*_FINAL_COLS)
+
+
+def _q_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass LWW dedupe + delete-filter over the change stream."""
+    return replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"]).select(
+        *_FINAL_COLS
+    )
+
+
+def _q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic events→changelog projection itself."""
+    return changelog(spark, sf_dir)
+
+
+def _q_cdc_last_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation head: latest surviving turn per conversation."""
+    final = replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"])
+    latest = lww_dedupe(
+        final.withColumn("_ord", F.col("turn_idx").cast("long")),
+        ["conv_id"],
+        lsn_col="_ord",
+        op_col=None,
+    )
+    return latest.select("conv_id", "turn_idx", "role", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_changelog": _q_cdc_changelog,
+        "cdc_lww_final_state": _q_cdc_lww,
+        "cdc_merge_replay": _q_cdc_replay,
+        "cdc_last_turn_per_conv": _q_cdc_last_per_conv,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    final_state_sql = f"""
+        {_CHANGELOG_CTE},
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
     """
-    return {}
+    return {
+        "cdc_changelog": f"{_CHANGELOG_CTE} SELECT * FROM changes",
+        "cdc_lww_final_state": final_state_sql,
+        "cdc_merge_replay": final_state_sql,
+        "cdc_last_turn_per_conv": f"""
+            {_CHANGELOG_CTE},
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM changes
+            ),
+            final AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ),
+            heads AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn2
+              FROM final
+            )
+            SELECT conv_id, turn_idx, role, text FROM heads WHERE rn2 = 1
+        """,
+    }

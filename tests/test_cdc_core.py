@@ -1,0 +1,189 @@
+"""M0 correctness: LWW dedupe, micro-batched MERGE convergence, idempotence,
+merge strategies, and oracle parity for the driver-contract CDC queries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.operators.dedupe import lww_dedupe, replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable, collapse_live_view
+from data_sync_tool_spark.sources.registry import changelog
+
+from .util_oracle import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def ch(spark, sf_small):
+    return changelog(spark, sf_small).cache()
+
+
+def _mk_table(spark, tmp_path, **kw):
+    kw.setdefault("n_buckets", 8)
+    return LakeTable(spark, str(tmp_path / "tbl"), ["conv_id", "turn_idx"], **kw)
+
+
+def test_lww_dedupe_keeps_max_lsn(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10, "old", "update"), ("a", 1, 20, "new", "update"), ("b", 1, 5, "x", "insert")],
+        "conv_id string, turn_idx int, lsn long, text string, op string",
+    )
+    out = {(r.conv_id, r.turn_idx): r.text for r in lww_dedupe(df, ["conv_id", "turn_idx"]).collect()}
+    assert out == {("a", 1): "new", ("b", 1): "x"}
+
+
+def test_lww_tiebreak_delete_wins(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10, "keep", "update"), ("a", 1, 10, "gone", "delete")],
+        "conv_id string, turn_idx int, lsn long, text string, op string",
+    )
+    row = lww_dedupe(df, ["conv_id", "turn_idx"]).collect()[0]
+    assert row.op == "delete"
+
+
+def test_incremental_merge_equals_one_pass_replay(spark, ch, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    for i in range(4):
+        b = ch.filter((F.col("lsn") >= i * n // 4) & (F.col("lsn") < (i + 1) * n // 4))
+        table.merge_into(b, batch_id=f"b{i}")
+    merged = table.read().drop("_lsn")
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    assert merged.exceptAll(expect).count() == 0
+    assert expect.exceptAll(merged).count() == 0
+
+
+def test_merge_is_idempotent_and_replay_safe(spark, ch, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    half = ch.filter(F.col("lsn") < 500)
+    table.merge_into(half, batch_id="b0")
+    v1 = table.current_version()
+    chk1 = table.lineage()[-1]["table_checksum"]
+    # same batch_id → no-op
+    assert table.merge_into(half, batch_id="b0").applied is False
+    assert table.current_version() == v1
+    # same DATA under a new batch_id (crash-replay with lost manifest write on
+    # the source side) → applied, but state unchanged (MERGE idempotence)
+    table.merge_into(half, batch_id="b0-replay")
+    assert table.lineage()[-1]["table_checksum"] == chk1
+
+
+def test_out_of_order_batches_converge(spark, ch, tmp_path):
+    """Late/out-of-order delivery: applying batches in reverse lsn order must
+    still converge because LWW authority is the stored _lsn, not arrival."""
+    table = _mk_table(spark, tmp_path)
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    for i in reversed(range(4)):
+        b = ch.filter((F.col("lsn") >= i * n // 4) & (F.col("lsn") < (i + 1) * n // 4))
+        table.merge_into(b, batch_id=f"rev{i}")
+    merged = table.read().drop("_lsn")
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    assert merged.exceptAll(expect).count() == 0
+    assert expect.exceptAll(merged).count() == 0
+
+
+def test_allow_delete_false_ignores_deletes(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    ins = spark.createDataFrame(
+        [("a", 1, "hello", "insert", 1)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    dele = spark.createDataFrame(
+        [("a", 1, None, "delete", 2)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    table.merge_into(ins, batch_id="i")
+    table.merge_into(dele, batch_id="d", allow_delete=False)
+    assert table.read().count() == 1
+    table.merge_into(dele, batch_id="d2", allow_delete=True)
+    assert table.read().count() == 0
+
+
+def test_delete_insert_strategy(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    base = spark.createDataFrame(
+        [("a", 1, "one", "insert", 1), ("a", 2, "two", "insert", 2), ("b", 1, "bee", "insert", 3)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    table.merge_into(base, batch_id="base")
+    # delete_insert on key (a,1): row replaced; (a,2),(b,1) untouched
+    repl = spark.createDataFrame(
+        [("a", 1, "ONE", "insert", 9)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    table.merge_into(repl, batch_id="re", strategy="delete_insert")
+    got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    assert got == {("a", 1): "ONE", ("a", 2): "two", ("b", 1): "bee"}
+
+
+def test_collapse_strategy_appends_cancel_rows(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    ins = spark.createDataFrame(
+        [("a", 1, "v1", "insert", 1)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    upd = spark.createDataFrame(
+        [("a", 1, "v2", "update", 2)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    table.merge_into(ins, batch_id="i", strategy="collapse")
+    table.merge_into(upd, batch_id="u", strategy="collapse")
+    raw = table.read()
+    # append-only: v1(+1), v1(-1) cancel, v2(+1)
+    assert raw.count() == 3
+    live = collapse_live_view(raw, ["conv_id", "turn_idx"])
+    rows = live.collect()
+    assert len(rows) == 1 and rows[0].text == "v2"
+
+
+def test_schema_evolution_additive_column(spark, ch, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    table.merge_into(ch.filter(F.col("lsn") < 300), batch_id="b0")
+    evolved = ch.filter((F.col("lsn") >= 300) & (F.col("lsn") < 600)).withColumn(
+        "model", F.lit("m-1")
+    )
+    table.merge_into(evolved, batch_id="b1")
+    out = table.read()
+    assert "model" in out.columns
+    # old rows carry NULL for the new column; new rows carry the value
+    assert out.filter(F.col("model").isNull()).count() > 0
+    assert out.filter(F.col("model") == "m-1").count() > 0
+
+
+def test_bucket_pruning_reads_only_touched_buckets(spark, ch, tmp_path):
+    table = _mk_table(spark, tmp_path, n_buckets=16)
+    table.merge_into(ch, batch_id="all")
+    one_conv = ch.filter(F.col("conv_id") == "conv-3").limit(1)
+    r = table.merge_into(one_conv.withColumn("lsn", F.lit(10_000_000)), batch_id="one")
+    assert len(r.touched_buckets) == 1
+
+
+def test_lineage_records_offsets_and_checksum(spark, ch, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    b = ch.filter(F.col("lsn") < 100)
+    table.merge_into(
+        b, batch_id="x", lineage_extra={"offset_min": 0, "offset_max": 99}
+    )
+    lin = table.lineage()[-1]
+    assert lin["batch_id"] == "x"
+    assert lin["offset_min"] == 0 and lin["offset_max"] == 99
+    assert "table_checksum" in lin and "op_counts" in lin
+
+
+def test_entry_contract_queries_match_oracle(spark, sf_small):
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        assert_matches_oracle(fn(spark, sf_small), oracles[name], sf_small)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
