@@ -1,0 +1,109 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "events_per_sec": ...}
+
+Headline: end-to-end CDC replay (deterministic synthetic binlog →
+Structured Streaming foreachBatch → converged lake table), the
+BASELINE.json target metric. Batch queries run at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR        table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          local[] parallelism (default all cores)
+  DST_BENCH_EVENTS          synthetic stream size (default 1_000_000)
+  DST_BENCH_CHUNKS          binlog chunk count (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_events = int(os.environ.get("DST_BENCH_EVENTS", "1000000"))
+    n_chunks = int(os.environ.get("DST_BENCH_CHUNKS", "8"))
+
+    from data_sync_tool_spark.session import build_session
+    from data_sync_tool_spark.datagen import changelog_stream, write_stream_chunks
+    from data_sync_tool_spark.sources.lake import LakeTable
+    from data_sync_tool_spark.streaming.cdc import CdcPipeline
+    import __spark_entry__ as E
+
+    spark = build_session("dst-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: streaming CDC replay on synthetic binlog -----------------
+    work = tempfile.mkdtemp(prefix="dst_bench_")
+    try:
+        ch = changelog_stream(
+            spark, n_events, n_convs=50_000, max_turns=64,
+            hot_fraction=0.2, n_hot=4,
+        )
+        gen_sec = _t(lambda: write_stream_chunks(ch, f"{work}/binlog", n_chunks))
+        queries["binlog_gen"] = gen_sec
+
+        mode = os.environ.get("DST_BENCH_MODE", "mor")
+        table = LakeTable(
+            spark, f"{work}/table", ["conv_id", "turn_idx"],
+            n_buckets=64, checksum=False, merge_mode=mode,
+        )
+        pipe = CdcPipeline(
+            spark, f"{work}/binlog/chunk-*", table, f"{work}/ckpt",
+            name="bench", max_files_per_trigger=None, track_offsets=False,
+        )
+        t0 = time.time()
+        pipe.run_available()
+        replay_sec = round(time.time() - t0, 3)
+        queries["cdc_stream_replay"] = replay_sec
+        queries["compact"] = _t(table.compact)
+        t0 = time.time()
+        final_rows = table.read().count()
+        queries["final_read"] = round(time.time() - t0, 3)
+        events_per_sec = round(n_events / replay_sec, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---- batch queries at sf_dir --------------------------------------------
+    for name, fn in E.queries().items():
+        if name == "cdc_merge_replay":
+            continue  # covered (bigger) by the headline stream replay
+        try:
+            queries[name] = _t(lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+        except Exception:  # noqa: BLE001
+            queries[name] = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_stream_replay_wall_sec",
+                "value": replay_sec,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "bench_events": n_events,
+                "events_per_sec": events_per_sec,
+                "final_table_rows": final_rows,
+                "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,44 +1,50 @@
-"""LakeTable — manifest-tracked parquet snapshots with Iceberg-style
-copy-on-write MERGE, exactly-once commits, additive schema evolution, and
-per-commit lineage.
+"""LakeTable — manifest-tracked parquet snapshots with Iceberg-style MERGE
+(copy-on-write AND merge-on-read), exactly-once commits, additive schema
+evolution, and per-commit lineage.
 
 Why not real Iceberg: this sandbox has no Iceberg runtime jar (no network
 installs), so the engine implements the same physical design directly over
 parquet. On a cluster with ``iceberg-spark-runtime`` on the classpath the
-``merge_into`` body is replaceable by a single ``MERGE INTO`` statement — the
-surrounding protocol (idempotence manifest, lineage, bucket pruning) is
-identical.
+``merge_into`` body is replaceable by ``MERGE INTO`` (CoW) or equality-delete
+writes (MoR); the surrounding protocol (idempotence manifest, lineage, bucket
+pruning) is identical.
 
-Physical design (mirrors Iceberg v2 copy-on-write):
+Physical design (mirrors Iceberg v2):
 - Rows are hash-bucketed on the first key column:
   ``bucket_id = pmod(xxhash64(key), n_buckets)`` — Iceberg's
   ``bucket(N, key)`` partition transform.
-- Each commit writes new parquet files under ``data/snap-{version}/`` and an
-  atomic manifest ``_manifests/v{version}.json`` mapping bucket_id → file
-  list. Buckets untouched by a commit carry their previous file entries
-  forward — only dirty buckets are rewritten (copy-on-write at bucket
-  granularity, the analogue of Iceberg rewriting only matched data files).
+- Each commit writes new parquet files under ``data/snap-*/`` and an atomic
+  manifest ``_manifests/v{version}.json`` mapping bucket_id → {base files,
+  delta files}. Untouched buckets carry their previous entries forward.
 - Readers resolve the latest manifest and read exactly its file list:
-  snapshot isolation; bucket pruning = selecting manifest entries, the
-  analogue of Iceberg manifest-level partition pruning. At 100 TB this means a
-  MERGE touching 2% of conversations reads/writes ~2% of the table.
+  snapshot isolation; bucket pruning = selecting manifest entries (Iceberg
+  manifest-level partition pruning). A MERGE touching 2% of conversations
+  reads/writes ~2% of the table.
+- **CoW mode** (``merge_mode="cow"``): dirty buckets are rewritten per batch —
+  reads stay cheap (base files are fully resolved), writes cost
+  O(dirty-bucket size). Right when batches are rare/large or reads dominate.
+- **MoR mode** (``merge_mode="mor"``): each batch appends its (deduped,
+  tombstone-carrying) rows as DELTA files — write cost O(batch), independent
+  of table size; reads LWW-resolve base∪delta on the fly (Iceberg equality
+  deletes). ``compact()`` folds deltas back into base. Right for high-rate
+  CDC ingest — the 10^10-event design point.
 - Exactly-once: every commit carries a ``batch_id``; ``merge_into`` is a no-op
-  for an already-committed batch_id, so Structured Streaming retries /
-  checkpoint replays cannot double-apply (reference analogue: none — the
-  reference autocommits per row, ``/root/reference/adapters/postgres.py:115-117``).
-- Lineage: each manifest records source offset range, op counts, and an
-  order-independent table checksum (sum-of-rowhash; see
-  ``functions.hashes.blockhash_sum``) — SURVEY §2.8 / north-star requirement.
+  for an already-committed batch_id, so Structured Streaming checkpoint
+  replays cannot double-apply (reference autocommits per row with no such
+  guard: ``/root/reference/adapters/postgres.py:115-117``).
+- Deletes are TOMBSTONES (``_deleted`` + the delete's LSN): a late-arriving
+  older change can never resurrect a deleted key. Tombstone GC is a
+  maintenance op, deliberately not part of merge.
+- Lineage: each manifest records batch offsets, op counts, and an
+  order-independent table checksum (sum-of-rowhash).
 
 Merge strategies (reference ``core/config.py:158-160``, README "Merge
 Strategies"):
-- ``upsert``        : last-writer-wins by monotone ``lsn``; deletes drop rows
-                      when ``allow_delete`` (MERGE ... WHEN MATCHED DELETE).
-- ``delete_insert`` : all target rows for keys present in the batch are
-                      removed, then batch rows inserted.
-- ``collapse``      : append-only sinks — a "nullify" cancel row (sign=-1)
-                      is appended before each replacing insert
-                      (ClickHouse CollapsingMergeTree protocol).
+- ``upsert``        : last-writer-wins by monotone ``lsn``.
+- ``delete_insert`` : target rows for batch keys removed, then batch inserted
+                      (CoW only — needs key-match removal).
+- ``collapse``      : append-only sinks — cancel row (sign=-1) before each
+                      replacing insert (ClickHouse CollapsingMergeTree).
 """
 
 from __future__ import annotations
@@ -60,10 +66,9 @@ from ..functions.hashes import rowhash_int32
 LSN_COL = "_lsn"  # monotone writer sequence — LWW authority + idempotent replay
 BUCKET_COL = "_bucket"  # derived, directory-encoded at write, never stored in files
 SIGN_COL = "_sign"  # collapse strategy only: +1 live row, -1 cancel row
-DELETED_COL = "_deleted"  # tombstone marker: deletes are retained with their LSN so a
-# late-arriving OLDER change cannot resurrect a deleted key (out-of-order
-# delivery safety). Tombstone compaction is a maintenance op, not a merge op.
+DELETED_COL = "_deleted"  # tombstone marker (see module docstring)
 
+_SYSTEM_COLS = (LSN_COL, DELETED_COL, SIGN_COL)
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
@@ -88,12 +93,16 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 32,
         checksum: bool = True,
+        merge_mode: str = "cow",
     ) -> None:
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.checksum = checksum
+        self.merge_mode = merge_mode
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
 
@@ -116,10 +125,9 @@ class LakeTable:
             return json.load(f)
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> int:
-        """Atomic commit: write temp file, rename to the next version. A
-        os.rename to an existing path would clobber — single-writer protocol
-        (the streaming driver); on a shared object store this would be a
-        compare-and-swap / catalog commit, exactly Iceberg's commit path."""
+        """Atomic commit: write temp file, rename to the next version.
+        Single-writer protocol (the streaming driver); on a shared object
+        store this is a catalog compare-and-swap — exactly Iceberg's commit."""
         version = self.current_version() + 1
         manifest["version"] = version
         tmp = os.path.join(self.path, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
@@ -145,51 +153,92 @@ class LakeTable:
                 out.append(m.get("lineage", {}) | {"version": v})
         return out
 
-    # ----------------------------------------------------------------- reads
+    # ---------------------------------------------------------------- common
     def _bucket_col(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.key_cols[0]).cast("string")), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(
+            F.xxhash64(F.col(self.key_cols[0]).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
 
-    def _schema(self) -> T.StructType | None:
-        m = self._load_manifest()
-        if m is None or not m.get("schema"):
-            return None
+    @staticmethod
+    def _entry(m: dict[str, Any] | None, b: str) -> dict[str, list[str]]:
+        if m is None:
+            return {"base": [], "delta": []}
+        e = m["buckets"].get(b, {})
+        return {"base": list(e.get("base", [])), "delta": list(e.get("delta", []))}
+
+    def _files(
+        self, m: dict[str, Any] | None, buckets: list[int] | None, kind: str | None = None
+    ) -> list[str]:
+        if m is None:
+            return []
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        out: list[str] = []
+        for b, e in m["buckets"].items():
+            if wanted is not None and b not in wanted:
+                continue
+            for k in ("base", "delta"):
+                if kind in (None, k):
+                    out.extend(e.get(k, []))
+        return out
+
+    def _schema_of(self, m: dict[str, Any]) -> T.StructType:
         return T.StructType.fromJson(json.loads(m["schema"]))
 
+    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).option("mergeSchema", "true").parquet(*files)
+
+    def _resolve_lww(self, df: DataFrame) -> DataFrame:
+        """Reduce to one row per key: max (_lsn, deleted-rank). Hash aggregate
+        with map-side partial combine — the skew-safe reduction (SURVEY §7)."""
+        data_cols = [c for c in df.columns if c not in self.key_cols]
+        del_rank = (
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit(2)).otherwise(F.lit(1))
+            if DELETED_COL in df.columns
+            else F.lit(1)
+        )
+        payload = F.struct(
+            F.col(LSN_COL).alias("_o1"), del_rank.alias("_o2"),
+            *[F.col(c) for c in data_cols],
+        )
+        won = df.groupBy(*self.key_cols).agg(F.max(payload).alias("_w"))
+        return won.select(
+            *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in data_cols]
+        )
+
+    # ----------------------------------------------------------------- reads
     def read(
         self,
         buckets: list[int] | None = None,
         version: int | None = None,
         include_deleted: bool = False,
     ) -> DataFrame:
-        """Snapshot read of the latest (or a pinned) version, optionally
-        pruned to a bucket subset via the manifest (no file listing, no
-        directory scan — the manifest IS the file index). Tombstones are
-        filtered out unless ``include_deleted`` (merge internals need them)."""
+        """Snapshot read of the latest (or pinned) version, optionally pruned
+        to a bucket subset via the manifest (no directory listing — the
+        manifest IS the file index). In MoR state, base∪delta are LWW-resolved
+        on the fly. Tombstones filtered unless ``include_deleted``."""
         m = self._load_manifest(version)
         if m is None:
-            schema = self._schema() or T.StructType([])
-            return self.spark.createDataFrame([], schema)
-        entries = m["buckets"]
-        if buckets is not None:
-            wanted = {str(b) for b in buckets}
-            files = [f for b, fs in entries.items() if b in wanted for f in fs]
-        else:
-            files = [f for fs in entries.values() for f in fs]
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        # mergeSchema handles additive evolution across snapshots; the manifest
-        # schema is authoritative for column order and new columns.
-        df = self.spark.read.schema(schema).option("mergeSchema", "true").parquet(*files)
+            return self.spark.createDataFrame([], T.StructType([]))
+        schema = self._schema_of(m)
+        base_files = self._files(m, buckets, "base")
+        delta_files = self._files(m, buckets, "delta")
+        df = self._read_files(base_files + delta_files, schema)
+        if delta_files:
+            df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return df
 
     # ---------------------------------------------------------------- writes
-    def _write_snapshot(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
-        """Write ``df`` (which must carry BUCKET_COL) partitioned by bucket
-        under a fresh snapshot dir; return bucket_id → absolute file list."""
-        snap = os.path.join(self.path, _DATA_DIR, f"snap-{version_hint:012d}-{uuid.uuid4().hex[:8]}")
+    def _write_snapshot(self, df: DataFrame) -> dict[str, list[str]]:
+        """Write ``df`` (must carry BUCKET_COL) partitioned by bucket under a
+        fresh snapshot dir; return bucket_id → absolute file list."""
+        snap = os.path.join(
+            self.path, _DATA_DIR,
+            f"snap-{self.current_version() + 1:012d}-{uuid.uuid4().hex[:8]}",
+        )
         df.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(snap)):
@@ -208,29 +257,50 @@ class LakeTable:
 
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
-    def _table_checksum(self, df: DataFrame, cols: list[str]) -> int:
-        """Order-independent table digest: sum of int32 rowhashes over all
-        data columns — comparable across engines and across cluster sizes."""
+    def _table_checksum(self, m_buckets: dict[str, Any], schema: T.StructType) -> int:
+        """Order-independent digest of LIVE rows: sum of int32 rowhashes over
+        data columns — comparable across engines and cluster sizes."""
+        files = [f for e in m_buckets.values() for k in ("base", "delta") for f in e.get(k, [])]
+        df = self._read_files(files, schema)
+        if any(e.get("delta") for e in m_buckets.values()):
+            df = self._resolve_lww(df)
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        cols = [c for c in df.columns if c not in _SYSTEM_COLS]
         row = df.select(F.coalesce(F.sum(rowhash_int32(*cols)), F.lit(0)).alias("c")).first()
         return int(row["c"])
 
-    def overwrite(self, df: DataFrame, batch_id: str = "overwrite", lsn: int = 0) -> MergeResult:
-        """Full-table replace (initial load). Adds LSN_COL if absent."""
-        if LSN_COL not in df.columns:
-            df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
-        df = df.withColumn(BUCKET_COL, self._bucket_col())
-        data_schema = df.drop(BUCKET_COL).schema
-        buckets = self._write_snapshot(df, self.current_version() + 1)
-        files = [f for fs in buckets.values() for f in fs]
-        n = self._count_rows(files)
+    def _commit(
+        self,
+        buckets: dict[str, Any],
+        data_schema: T.StructType,
+        batch_id: str,
+        lineage: dict[str, Any],
+    ) -> int:
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
-            "lineage": {"batch_id": batch_id, "op": "overwrite", "rows_written": n},
+            "lineage": lineage,
         }
-        v = self._commit_manifest(manifest)
-        return MergeResult(v, batch_id, True, [int(b) for b in buckets], n)
+        if self.checksum:
+            lineage["table_checksum"] = self._table_checksum(buckets, data_schema)
+        return self._commit_manifest(manifest)
+
+    def overwrite(self, df: DataFrame, batch_id: str = "overwrite", lsn: int = 0) -> MergeResult:
+        """Full-table replace (initial load). Adds system columns if absent."""
+        if LSN_COL not in df.columns:
+            df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        df = df.withColumn(BUCKET_COL, self._bucket_col())
+        data_schema = df.drop(BUCKET_COL).schema
+        new = self._write_snapshot(df)
+        buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
+        n = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {"batch_id": batch_id, "op": "overwrite", "rows_written": n}
+        v = self._commit(buckets, data_schema, batch_id, lineage)
+        return MergeResult(v, batch_id, True, [int(b) for b in new], n)
 
     # ----------------------------------------------------------------- merge
     def merge_into(
@@ -246,18 +316,10 @@ class LakeTable:
         """Apply one change batch. ``batch_df`` columns = data columns +
         ``op_col`` ∈ {insert, update, upsert, delete} + monotone ``lsn_col``.
 
-        Execution plan (one shuffle + one partitioned write):
-        1. idempotence gate on ``batch_id``;
-        2. bucket the batch; collect the (small) set of dirty bucket ids;
-        3. union dirty-bucket target rows (authority = stored ``_lsn``) with
-           batch rows and reduce per key with ``max_by(struct, lsn)`` —
-           a hash aggregate with map-side partial combine, so a hot
-           conversation key is pre-reduced on every input partition before
-           the shuffle (skew-safe without explicit salting; AQE skew-join
-           covers the residual);
-        4. drop rows whose winning op is delete (when allowed);
-        5. rewrite ONLY dirty buckets into a new snapshot; carry the rest
-           forward in the manifest.
+        upsert/CoW : union dirty-bucket target rows with the deduped batch,
+                     LWW-reduce, rewrite only dirty buckets.
+        upsert/MoR : append the deduped batch as delta files — write cost is
+                     O(batch) regardless of table size; reads resolve.
         """
         if batch_id in self.committed_batch_ids():
             return MergeResult(self.current_version(), batch_id, False)
@@ -271,133 +333,126 @@ class LakeTable:
             .drop(op_col, lsn_col)
             .withColumn(BUCKET_COL, self._bucket_col())
         )
-        if strategy == "collapse":
-            return self._merge_collapse(batch, data_cols, batch_id, allow_delete, lineage_extra)
+        if not allow_delete:
+            # deletes ignored entirely (reference MergeStrategyConfig
+            # allow_delete=False, core/config.py:158-160)
+            batch = batch.filter(F.col("_op") != F.lit("delete"))
 
-        dirty = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
-        target = self.read(buckets=dirty, include_deleted=True)
-        all_data_cols = list(dict.fromkeys(
-            [c for c in target.columns if c not in (LSN_COL, DELETED_COL)] + data_cols
-        ))
-
-        if strategy == "delete_insert":
-            # remove every target row whose key matches a batch key, then
-            # insert batch rows: left_anti + union (both bucket-pruned).
-            # NOTE: physical-removal semantics (no tombstones) — this strategy
-            # assumes in-order delivery, matching the reference's
-            # delete-then-insert contract (README "Merge Strategies").
-            keys = batch.select(*self.key_cols).distinct()
-            survivors = target.join(F.broadcast(keys), on=self.key_cols, how="left_anti")
-            inserts = (
-                batch.filter(F.col("_op") != F.lit("delete"))
-                .drop("_op", BUCKET_COL)
-                .withColumn(DELETED_COL, F.lit(False))
-            )
-            resolved = survivors.unionByName(inserts, allowMissingColumns=True)
-            resolved = resolved.withColumn(
-                DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
-            )
-        else:  # upsert (LWW)
-            if DELETED_COL in target.columns:
-                tgt = target.withColumn(
-                    "_op",
-                    F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete"))
-                    .otherwise(F.lit("upsert")),
-                ).drop(DELETED_COL)
-            else:
-                tgt = target.withColumn("_op", F.lit("upsert"))
-            src = batch.drop(BUCKET_COL)
-            if not allow_delete:
-                # deletes are ignored entirely (reference MergeStrategyConfig
-                # allow_delete=False, core/config.py:158-160): drop them before
-                # the reduce so the previous live row keeps winning.
-                src = src.filter(F.col("_op") != F.lit("delete"))
-            unioned = tgt.unionByName(src, allowMissingColumns=True)
-            # winner per key = row with max (_lsn, op_rank). op_rank breaks the
-            # (never-expected) lsn tie deterministically: delete > upsert, so a
-            # tied delete wins — documented LWW tiebreak (SURVEY §7 hard parts).
-            op_rank = F.when(F.col("_op") == "delete", 2).otherwise(1)
-            payload = F.struct(
-                F.col(LSN_COL), op_rank.alias("_op_rank"), F.col("_op"),
-                *[F.col(c) for c in all_data_cols],
-            )
-            winner = unioned.groupBy(*self.key_cols).agg(F.max(payload).alias("w"))
-            resolved = winner.select(
-                *self.key_cols,
-                *[F.col(f"w.{c}").alias(c) for c in all_data_cols if c not in self.key_cols],
-                F.col(f"w.{LSN_COL}").alias(LSN_COL),
-                # deletes become TOMBSTONES, not removals: a late-arriving
-                # change with a smaller lsn must lose to the delete.
-                (F.col("w._op") == F.lit("delete")).alias(DELETED_COL),
-            )
-
-        resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
-        data_schema = resolved.drop(BUCKET_COL).schema
-        new_entries = self._write_snapshot(resolved, self.current_version() + 1)
-        # carry forward untouched buckets; dirty buckets map to the new files
-        # (a dirty bucket that resolved to zero rows maps to no files — that is
-        # the copy-on-write delete).
-        prev = self._load_manifest()
-        buckets = dict(prev["buckets"]) if prev else {}
-        for b in dirty:
-            buckets.pop(str(b), None)
-        buckets.update(new_entries)
-
-        new_files = [f for fs in new_entries.values() for f in fs]
-        rows_written = self._count_rows(new_files)
-        stats: dict[str, Any] = {
+        stats = {
             "op_counts": {
                 r["_op"]: r["n"]
                 for r in batch.groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
-            },
+            }
         }
+        if strategy == "collapse":
+            return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra)
+        if strategy == "delete_insert":
+            return self._merge_delete_insert(batch, batch_id, stats, lineage_extra)
+
+        # -------- upsert: dedupe batch to one row per key with tombstones
+        deduped = self._resolve_lww(
+            batch.withColumn(DELETED_COL, F.col("_op") == F.lit("delete")).drop("_op")
+        ).withColumn(BUCKET_COL, self._bucket_col())
+
+        m = self._load_manifest()
+        if self.merge_mode == "mor":
+            new = self._write_snapshot(deduped)
+            buckets = dict(m["buckets"]) if m else {}
+            for b, fs in new.items():
+                e = self._entry(m, b)
+                e["delta"] = e["delta"] + fs
+                buckets[b] = e
+            data_schema = deduped.drop(BUCKET_COL).schema
+            if m is not None:  # additive schema evolution: union field sets
+                data_schema = _merge_schemas(self._schema_of(m), data_schema)
+        else:
+            dirty = [r[BUCKET_COL] for r in deduped.select(BUCKET_COL).distinct().collect()]
+            target = self.read(buckets=dirty, include_deleted=True)
+            if not target.columns:
+                target = deduped.drop(BUCKET_COL).limit(0)
+            unioned = target.unionByName(deduped.drop(BUCKET_COL), allowMissingColumns=True)
+            resolved = self._resolve_lww(unioned).withColumn(BUCKET_COL, self._bucket_col())
+            new = self._write_snapshot(resolved)
+            buckets = dict(m["buckets"]) if m else {}
+            for b in dirty:  # dirty bucket resolving to zero rows = CoW delete
+                buckets.pop(str(b), None)
+            for b, fs in new.items():
+                buckets[b] = {"base": fs, "delta": []}
+            data_schema = resolved.drop(BUCKET_COL).schema
+
+        rows_written = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {
             "batch_id": batch_id,
-            "op": f"merge:{strategy}",
-            "touched_buckets": sorted(int(b) for b in new_entries),
+            "op": f"merge:{strategy}:{self.merge_mode}",
+            "touched_buckets": sorted(int(b) for b in new),
             "rows_written": rows_written,
             **stats,
             **(lineage_extra or {}),
         }
-        if self.checksum:
-            chk_cols = [
-                c for c in data_schema.fieldNames() if c not in (LSN_COL, DELETED_COL, SIGN_COL)
-            ]
-            all_files = [f for fs in buckets.values() for f in fs]
-            full = (
-                self.spark.read.schema(data_schema).option("mergeSchema", "true").parquet(*all_files)
-                if all_files
-                else self.spark.createDataFrame([], data_schema)
-            )
-            if DELETED_COL in full.columns:
-                full = full.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            lineage["table_checksum"] = self._table_checksum(full, chk_cols)
-        manifest = {
-            "buckets": buckets,
-            "schema": json.dumps(data_schema.jsonValue()),
-            "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
-            "lineage": lineage,
+        v = self._commit(buckets, data_schema, batch_id, lineage)
+        return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
+
+    def _merge_delete_insert(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        stats: dict[str, Any],
+        lineage_extra: dict[str, Any] | None,
+    ) -> MergeResult:
+        """delete_insert (CoW only): remove every target row whose key matches
+        a batch key, insert batch rows. Physical-removal semantics (no
+        tombstones) per the reference's delete-then-insert contract —
+        assumes in-order delivery."""
+        dirty = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+        target = self.read(buckets=dirty, include_deleted=True)
+        inserts = (
+            batch.filter(F.col("_op") != F.lit("delete"))
+            .drop("_op", BUCKET_COL)
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+        if not target.columns:
+            target = inserts.limit(0)
+        keys = batch.select(*self.key_cols).distinct()
+        survivors = target.join(F.broadcast(keys), on=self.key_cols, how="left_anti")
+        resolved = (
+            survivors.unionByName(inserts, allowMissingColumns=True)
+            .withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .withColumn(BUCKET_COL, self._bucket_col())
+        )
+        new = self._write_snapshot(resolved)
+        m = self._load_manifest()
+        buckets = dict(m["buckets"]) if m else {}
+        for b in dirty:
+            buckets.pop(str(b), None)
+        for b, fs in new.items():
+            buckets[b] = {"base": fs, "delta": []}
+        data_schema = resolved.drop(BUCKET_COL).schema
+        rows_written = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {
+            "batch_id": batch_id, "op": "merge:delete_insert",
+            "touched_buckets": sorted(int(b) for b in new),
+            "rows_written": rows_written, **stats, **(lineage_extra or {}),
         }
-        v = self._commit_manifest(manifest)
-        return MergeResult(v, batch_id, True, sorted(int(b) for b in new_entries), rows_written, stats)
+        v = self._commit(buckets, data_schema, batch_id, lineage)
+        return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     def _merge_collapse(
         self,
         batch: DataFrame,
         data_cols: list[str],
         batch_id: str,
-        allow_delete: bool,
+        stats: dict[str, Any],
         lineage_extra: dict[str, Any] | None,
     ) -> MergeResult:
-        """Collapse strategy: append-only. For each incoming change, append a
-        cancel row (_sign=-1) mirroring the currently-live row (if any), then
-        the new row with _sign=+1 (deletes append only the cancel row).
-        Readers reconstruct live state by summing signs per (key, lsn) — the
-        ClickHouse CollapsingMergeTree protocol the reference targets for its
-        append-only ClickHouse sink (``/root/reference/adapters/clickhouse.py:93-105``)."""
+        """Collapse: append-only. For each incoming change, append a cancel
+        row (_sign=-1) mirroring the live row (if any), then the new row with
+        _sign=+1 (deletes append only the cancel). Readers reconstruct live
+        state by summing signs — ClickHouse CollapsingMergeTree, the protocol
+        the reference targets for its append-only ClickHouse sink
+        (``/root/reference/adapters/clickhouse.py:93-105``)."""
         dirty = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
         target = self.read(buckets=dirty)
-        if not target.columns:  # fresh table: empty frame with the batch's shape
+        if not target.columns:
             target = batch.drop(BUCKET_COL, "_op").withColumn(SIGN_COL, F.lit(1)).limit(0)
         live = collapse_live_view(target, self.key_cols) if SIGN_COL in target.columns else target
         op_rank = F.when(F.col("_op") == "delete", 2).otherwise(1)
@@ -417,35 +472,81 @@ class LakeTable:
             latest.filter(F.col("_op") != F.lit("delete")).drop("_op").withColumn(SIGN_COL, F.lit(1))
         )
         appended = cancels.unionByName(inserts, allowMissingColumns=True)
-        existing_sign = target if SIGN_COL in target.columns else target.withColumn(SIGN_COL, F.lit(1))
-        resolved = existing_sign.unionByName(appended, allowMissingColumns=True)
-        resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
-        data_schema = resolved.drop(BUCKET_COL).schema
-        new_entries = self._write_snapshot(resolved, self.current_version() + 1)
-        prev = self._load_manifest()
-        buckets = dict(prev["buckets"]) if prev else {}
+        existing = target if SIGN_COL in target.columns else target.withColumn(SIGN_COL, F.lit(1))
+        resolved = (
+            existing.unionByName(appended, allowMissingColumns=True)
+            .withColumn(BUCKET_COL, self._bucket_col())
+        )
+        new = self._write_snapshot(resolved)
+        m = self._load_manifest()
+        buckets = dict(m["buckets"]) if m else {}
         for b in dirty:
             buckets.pop(str(b), None)
-        buckets.update(new_entries)
-        rows_written = self._count_rows([f for fs in new_entries.values() for f in fs])
+        for b, fs in new.items():
+            buckets[b] = {"base": fs, "delta": []}
+        data_schema = resolved.drop(BUCKET_COL).schema
+        rows_written = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {
+            "batch_id": batch_id, "op": "merge:collapse",
+            "rows_written": rows_written, **stats, **(lineage_extra or {}),
+        }
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
-            "lineage": {"batch_id": batch_id, "op": "merge:collapse",
-                        "rows_written": rows_written, **(lineage_extra or {})},
+            "lineage": lineage,
         }
         v = self._commit_manifest(manifest)
-        return MergeResult(v, batch_id, True, sorted(int(b) for b in new_entries), rows_written)
+        return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
+
+    # ------------------------------------------------------------ compaction
+    def compact(self, buckets: list[int] | None = None, batch_id: str | None = None) -> MergeResult:
+        """Fold delta files into base for the given (default: all
+        delta-bearing) buckets: read base∪delta, LWW-resolve, rewrite as base.
+        The MoR maintenance op — run on a schedule or when delta/base ratio
+        crosses a threshold; at cluster scale this is a background job that
+        never blocks ingest (it commits a new snapshot like any writer)."""
+        m = self._load_manifest()
+        if m is None:
+            return MergeResult(0, batch_id or "compact", False)
+        dirty = [
+            int(b) for b, e in m["buckets"].items()
+            if e.get("delta") and (buckets is None or int(b) in set(buckets))
+        ]
+        if not dirty:
+            return MergeResult(m["version"], batch_id or "compact", False)
+        schema = self._schema_of(m)
+        df = self._read_files(self._files(m, dirty), schema)
+        resolved = self._resolve_lww(df).withColumn(BUCKET_COL, self._bucket_col())
+        new = self._write_snapshot(resolved)
+        out = dict(m["buckets"])
+        for b in dirty:
+            out.pop(str(b), None)
+        for b, fs in new.items():
+            out[b] = {"base": fs, "delta": []}
+        bid = batch_id or f"compact-v{m['version']}"
+        rows = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
+                   "compacted_buckets": sorted(dirty)}
+        v = self._commit(out, schema, bid, lineage)
+        return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     # ------------------------------------------------------------- utilities
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
+def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Additive schema union: old field order, new fields appended."""
+    fields = {f.name: f for f in old.fields}
+    for f in new.fields:
+        fields.setdefault(f.name, f)
+    return T.StructType(list(fields.values()))
+
+
 def collapse_live_view(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Reconstruct live rows from a collapse-strategy table: per (key, lsn)
-    keep rows whose sign sum is +1 (cancel rows annihilate their original)."""
+    """Reconstruct live rows from a collapse-strategy table: per full row,
+    keep rows whose sign sum is positive (cancels annihilate originals)."""
     cols = [c for c in df.columns if c != SIGN_COL]
     return (
         df.groupBy(*cols)

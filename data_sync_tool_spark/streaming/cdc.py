@@ -1,0 +1,165 @@
+"""The streaming CDC loop: tail a binlog-style change feed → micro-batch
+MERGE into a lake table, exactly-once, resumable from checkpoint.
+
+Reference analogue: the reference's pipelines are externally-scheduled batch
+syncs (Airflow DAG per pipeline, ``/root/reference/airflow.py:40-98``) with a
+bounded NATS fetch (``adapters/nats.py:57-87``) and no watermarks/state. This
+module supplies the streaming machinery from Spark per SURVEY §2.8:
+
+- source: Structured Streaming file source over lsn-ordered parquet chunk
+  dirs (the sandbox stand-in for Kafka/binlog; swapping in
+  ``readStream.format("kafka")`` changes only ``_reader``), bounded per
+  micro-batch by ``maxFilesPerTrigger`` — the reference's ``max_msgs``
+  bounding knob.
+- sink: ``foreachBatch`` → ``LakeTable.merge_into`` keyed by a deterministic
+  ``batch_id = f"{pipeline_name}:{epoch_id}"``. Structured Streaming replays
+  an epoch after a crash with the SAME epoch id, and ``merge_into`` is a
+  no-op for committed batch ids ⇒ exactly-once sink semantics end-to-end
+  (checkpoint gives at-least-once; the idempotence manifest removes the
+  duplicate).
+- lineage: each commit records the batch's lsn offset range and op counts in
+  the table manifest; ``CdcMetrics`` aggregates per-batch rows/sec.
+- resume: kill the query at any point; restarting with the same checkpoint
+  dir replays from the last un-committed epoch (tested in
+  ``tests/test_cdc_stream.py``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.lake import LakeTable
+
+CHANGE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class CdcMetrics:
+    batches: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def total_events(self) -> int:
+        return sum(b["input_rows"] for b in self.batches)
+
+    @property
+    def total_seconds(self) -> float:
+        return sum(b["seconds"] for b in self.batches)
+
+    @property
+    def events_per_sec(self) -> float:
+        s = self.total_seconds
+        return self.total_events / s if s > 0 else 0.0
+
+
+class CdcPipeline:
+    """One source→sink CDC pipeline (reference ``PipelineConfig`` analogue,
+    ``/root/reference/core/config.py:266-286``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_glob: str,
+        table: LakeTable,
+        checkpoint_dir: str,
+        name: str = "cdc",
+        schema: T.StructType = CHANGE_STREAM_SCHEMA,
+        max_files_per_trigger: int | None = 1,
+        merge_strategy: str = "upsert",
+        allow_delete: bool = True,
+        track_offsets: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.source_glob = source_glob
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.name = name
+        self.schema = schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.merge_strategy = merge_strategy
+        self.allow_delete = allow_delete
+        self.track_offsets = track_offsets
+        self.metrics = CdcMetrics()
+
+    def _reader(self) -> DataFrame:
+        r = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return r.parquet(self.source_glob)
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        extra: dict[str, Any] = {"epoch_id": epoch_id}
+        if self.track_offsets:
+            # one cheap agg on the (already materialized-in-plan) batch:
+            # offset-range lineage per north star. Skippable for max
+            # throughput via track_offsets=False.
+            rng = batch_df.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if rng["n"] == 0:
+                return  # empty epoch (availableNow tail): nothing to commit
+            extra |= {"offset_min": rng["lo"], "offset_max": rng["hi"]}
+            input_rows = rng["n"]
+        else:
+            input_rows = -1
+        res = self.table.merge_into(
+            batch_df,
+            batch_id=f"{self.name}:{epoch_id}",
+            strategy=self.merge_strategy,
+            allow_delete=self.allow_delete,
+            lineage_extra=extra,
+        )
+        self.metrics.batches.append(
+            {
+                "epoch_id": epoch_id,
+                "applied": res.applied,
+                "input_rows": int(input_rows) if input_rows and input_rows > 0 else 0,
+                "rows_written": res.rows_written,
+                "seconds": time.time() - t0,
+            }
+        )
+
+    def run_available(self, stop_after_batches: int | None = None, timeout_sec: float = 3600.0):
+        """Process everything currently in the source, then stop
+        (Trigger.AvailableNow). ``stop_after_batches`` simulates a crash for
+        resume tests: the query is killed after N epochs."""
+        query = (
+            self._reader()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if stop_after_batches is None:
+                query.awaitTermination(timeout_sec)
+            else:
+                deadline = time.time() + timeout_sec
+                while time.time() < deadline and query.isActive:
+                    if len(self.metrics.batches) >= stop_after_batches:
+                        query.stop()
+                        break
+                    time.sleep(0.2)
+                query.awaitTermination(timeout_sec)
+        finally:
+            if query.isActive:  # pragma: no cover
+                query.stop()
+        return self.metrics

@@ -1,0 +1,96 @@
+"""M3: streaming CDC loop — end-to-end convergence, checkpoint resume
+(crash mid-stream), exactly-once under replay, skew robustness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.datagen import changelog_stream, write_stream_chunks
+from data_sync_tool_spark.operators.dedupe import replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable
+from data_sync_tool_spark.streaming.cdc import CdcPipeline
+
+N_EVENTS = 4_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog")
+    ch = changelog_stream(spark, N_EVENTS, n_convs=100, max_turns=16, hot_fraction=0.3, n_hot=2)
+    write_stream_chunks(ch, str(d), n_chunks=8)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def expected_final(spark):
+    ch = changelog_stream(spark, N_EVENTS, n_convs=100, max_turns=16, hot_fraction=0.3, n_hot=2)
+    return replay_final_state(ch, ["conv_id", "turn_idx"]).cache()
+
+
+def _mk(spark, tmp_path, stream_dir, name, **kw):
+    table = LakeTable(spark, str(tmp_path / "tbl"), ["conv_id", "turn_idx"], n_buckets=8,
+                      checksum=False)
+    pipe = CdcPipeline(
+        spark, f"{stream_dir}/chunk-*", table, str(tmp_path / "ckpt"), name=name, **kw
+    )
+    return table, pipe
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_stream_replay_converges(spark, tmp_path, stream_dir, expected_final):
+    table, pipe = _mk(spark, tmp_path, stream_dir, "conv")
+    m = pipe.run_available()
+    assert m.total_events == N_EVENTS
+    assert len(m.batches) >= 8  # one epoch per chunk file at maxFilesPerTrigger=1
+    _assert_same(table.read().drop("_lsn"), expected_final)
+
+
+def test_checkpoint_resume_after_crash(spark, tmp_path, stream_dir, expected_final):
+    table, pipe = _mk(spark, tmp_path, stream_dir, "crash")
+    pipe.run_available(stop_after_batches=3)  # "crash" mid-stream
+    n_before = len(pipe.metrics.batches)
+    assert n_before < 16
+    # restart from the same checkpoint: picks up where it left off
+    pipe2 = CdcPipeline(spark, f"{stream_dir}/chunk-*", table, str(tmp_path / "ckpt"), name="crash")
+    pipe2.run_available()
+    _assert_same(table.read().drop("_lsn"), expected_final)
+    # epochs replayed after the crash were deduped by batch_id where already
+    # committed (exactly-once): no batch applied twice
+    applied_ids = [b["epoch_id"] for b in pipe.metrics.batches if b["applied"]] + [
+        b["epoch_id"] for b in pipe2.metrics.batches if b["applied"]
+    ]
+    assert len(applied_ids) == len(set(applied_ids))
+
+
+def test_stream_lineage_offsets_cover_input(spark, tmp_path, stream_dir):
+    table, pipe = _mk(spark, tmp_path, stream_dir, "lin")
+    pipe.run_available()
+    lin = [l for l in table.lineage() if l.get("op", "").startswith("merge")]
+    assert all("offset_min" in l and "offset_max" in l for l in lin)
+    assert min(l["offset_min"] for l in lin) == 0
+    assert max(l["offset_max"] for l in lin) == N_EVENTS - 1
+
+
+def test_skewed_stream_converges(spark, tmp_path):
+    """90% of events on ONE conversation — the hot-key worst case."""
+    ch = changelog_stream(spark, 2_000, n_convs=50, max_turns=8, hot_fraction=0.9, n_hot=1)
+    d = tmp_path / "skewlog"
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    table = LakeTable(spark, str(tmp_path / "tbl"), ["conv_id", "turn_idx"], n_buckets=8,
+                      checksum=False)
+    pipe = CdcPipeline(spark, f"{d}/chunk-*", table, str(tmp_path / "ckpt"), name="skew",
+                       max_files_per_trigger=2)
+    pipe.run_available()
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    _assert_same(table.read().drop("_lsn"), expect)
+
+
+def test_datagen_is_deterministic(spark):
+    a = changelog_stream(spark, 500, num_partitions=2).collect()
+    b = changelog_stream(spark, 500, num_partitions=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

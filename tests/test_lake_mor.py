@@ -1,0 +1,101 @@
+"""Merge-on-read mode: convergence parity with CoW, compaction, out-of-order
+safety, schema evolution across delta files."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.operators.dedupe import replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable
+from data_sync_tool_spark.sources.registry import changelog
+
+
+@pytest.fixture(scope="module")
+def ch(spark, sf_small):
+    return changelog(spark, sf_small).cache()
+
+
+def _merge_batches(table, ch, n_batches=4, order=None):
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    idxs = order if order is not None else range(n_batches)
+    for i in idxs:
+        b = ch.filter(
+            (F.col("lsn") >= i * n // n_batches) & (F.col("lsn") < (i + 1) * n // n_batches)
+        )
+        table.merge_into(b, batch_id=f"b{i}")
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mor_converges_like_cow(spark, ch, tmp_path):
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=8, merge_mode="mor", checksum=False)
+    _merge_batches(mor, ch)
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    _assert_same(mor.read().drop("_lsn"), expect)
+
+
+def test_mor_checksum_matches_cow(spark, ch, tmp_path):
+    """Lineage checksum is mode-independent: same live data ⇒ same digest."""
+    cow = LakeTable(spark, str(tmp_path / "cow"), ["conv_id", "turn_idx"], n_buckets=8)
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=8, merge_mode="mor")
+    _merge_batches(cow, ch)
+    _merge_batches(mor, ch)
+    assert cow.lineage()[-1]["table_checksum"] == mor.lineage()[-1]["table_checksum"]
+
+
+def test_mor_compaction_preserves_state(spark, ch, tmp_path):
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=8, merge_mode="mor")
+    _merge_batches(mor, ch)
+    before = mor.lineage()[-1]["table_checksum"]
+    res = mor.compact()
+    assert res.applied
+    assert mor.lineage()[-1]["table_checksum"] == before
+    # post-compact manifest has no delta files
+    m = mor._load_manifest()
+    assert all(not e.get("delta") for e in m["buckets"].values())
+    # and compaction is a no-op when there is nothing to fold
+    assert mor.compact().applied is False
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    _assert_same(mor.read().drop("_lsn"), expect)
+
+
+def test_mor_out_of_order_batches(spark, ch, tmp_path):
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=8, merge_mode="mor", checksum=False)
+    _merge_batches(mor, ch, order=[3, 1, 0, 2])
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    _assert_same(mor.read().drop("_lsn"), expect)
+
+
+def test_mor_schema_evolution(spark, ch, tmp_path):
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=8, merge_mode="mor", checksum=False)
+    mor.merge_into(ch.filter(F.col("lsn") < 300), batch_id="b0")
+    mor.merge_into(
+        ch.filter((F.col("lsn") >= 300) & (F.col("lsn") < 600)).withColumn("model", F.lit("m-1")),
+        batch_id="b1",
+    )
+    out = mor.read()
+    assert "model" in out.columns
+    assert out.filter(F.col("model").isNull()).count() > 0
+    assert out.filter(F.col("model") == "m-1").count() > 0
+    # compaction folds the evolved schema cleanly
+    mor.compact()
+    out2 = mor.read()
+    assert "model" in out2.columns
+    _assert_same(out, out2)
+
+
+def test_mor_bucket_pruned_read(spark, ch, tmp_path):
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
+                    n_buckets=16, merge_mode="mor", checksum=False)
+    _merge_batches(mor, ch)
+    all_rows = mor.read().count()
+    per_bucket = sum(mor.read(buckets=[b]).count() for b in range(16))
+    assert per_bucket == all_rows
