@@ -90,12 +90,16 @@ def _q_cdc_last_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from data_sync_tool_spark.queries import catalog
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_changelog": _q_cdc_changelog,
         "cdc_lww_final_state": _q_cdc_lww,
         "cdc_merge_replay": _q_cdc_replay,
         "cdc_last_turn_per_conv": _q_cdc_last_per_conv,
     }
+    out.update({name: fn for name, (fn, _sql) in catalog().items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -108,7 +112,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM ranked WHERE rn = 1 AND op <> 'delete'
     """
-    return {
+    from data_sync_tool_spark.queries import catalog
+
+    out = {
+        name: sql for name, (_fn, sql) in catalog().items() if sql is not None
+    }
+    return out | {
         "cdc_changelog": f"{_CHANGELOG_CTE} SELECT * FROM changes",
         "cdc_lww_final_state": final_state_sql,
         "cdc_merge_replay": final_state_sql,

@@ -1,0 +1,158 @@
+"""Declarative Query IR → DataFrame plan.
+
+Reference parity: ``core/query.py:36-71`` (Query/Field/Filter/Join/Table
+dataclasses) + ``engine/sql_builder.py:4-77`` (SQL rendering) + the richer
+``sqlglot1.py`` surface (IN/BETWEEN/NOT, CASE, aggregate kinds, CTEs,
+multi-column ORDER BY). The reference renders per-dialect SQL strings and
+ships them to each database; here the IR compiles to a DataFrame logical plan
+and Catalyst does predicate pushdown / column pruning / join planning — the
+optimizations the reference hand-encodes in its config layer (SURVEY §4).
+
+Virtual field types (``core/query.py:38``: column | rowhash | blockhash |
+blockname) map to the expression builders in ``functions.hashes`` — the Spark
+analogue of each adapter's ``_rewrite_query``
+(``adapters/postgres.py:79-97``).
+
+Expressions are Spark-SQL strings parsed by ``F.expr`` — the IR stays
+declarative and dialect-free; no string SQL assembly, no injection surface
+(the reference needs parameterized queries for that, ``sql_builder.py:52-74``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashes import bucket_expr, epoch_seconds, rowhash_int32, rowhash_md5
+
+_COMPARE_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+
+
+@dataclass
+class Field:
+    expr: str
+    alias: str | None = None
+    type: str = "column"  # column | rowhash | blockhash | blockname
+    metadata: dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class Filter:
+    column: str
+    operator: str  # = != < <= > >= in not_in between not_between like is_null is_not_null
+    value: Any = None
+
+
+@dataclass
+class Join:
+    table: str
+    on: str  # boolean Spark-SQL expression, e.g. "u.id = o.user_id"
+    alias: str | None = None
+    type: str = "inner"  # inner | left | right | full (core/config.py:131-135)
+
+
+@dataclass
+class Query:
+    select: list[Field]
+    table: str
+    table_alias: str | None = None
+    joins: list[Join] = dc_field(default_factory=list)
+    filters: list[Filter] = dc_field(default_factory=list)
+    group_by: list[str] = dc_field(default_factory=list)
+    order_by: list[tuple[str, str]] = dc_field(default_factory=list)  # (expr, asc|desc)
+    limit: int | None = None
+
+
+def _field_column(f: Field) -> Column:
+    if f.type == "column":
+        col = F.expr(f.expr)
+    elif f.type == "rowhash":
+        cols = [F.col(c) for c in f.metadata["fields"]]
+        strat = f.metadata.get("strategy", "md5sum_hash")
+        col = rowhash_int32(*cols) if strat == "md5sum_hash" else rowhash_md5(*cols)
+    elif f.type == "blockhash":
+        cols = [F.col(c) for c in f.metadata["fields"]]
+        col = F.sum(rowhash_int32(*cols))
+    elif f.type == "blockname":
+        pc = F.col(f.metadata["partition_column"])
+        if f.metadata.get("partition_column_type") == "datetime":
+            pc = epoch_seconds(pc)
+        col = bucket_expr(pc, f.metadata["interval"])
+    else:
+        raise ValueError(f"unknown field type: {f.type}")
+    return col.alias(f.alias) if f.alias else col
+
+
+def _filter_condition(flt: Filter) -> Column:
+    c = F.expr(flt.column)
+    op = flt.operator.lower()
+    if op in _COMPARE_OPS:
+        return {
+            "=": c == F.lit(flt.value), "==": c == F.lit(flt.value),
+            "!=": c != F.lit(flt.value), "<>": c != F.lit(flt.value),
+            "<": c < F.lit(flt.value), "<=": c <= F.lit(flt.value),
+            ">": c > F.lit(flt.value), ">=": c >= F.lit(flt.value),
+        }[op]
+    if op == "in":
+        return c.isin(list(flt.value))
+    if op == "not_in":
+        return ~c.isin(list(flt.value))
+    if op == "between":
+        return c.between(flt.value[0], flt.value[1])
+    if op == "not_between":
+        return ~c.between(flt.value[0], flt.value[1])
+    if op == "like":
+        return c.like(flt.value)
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
+    raise ValueError(f"unknown filter operator: {flt.operator}")
+
+
+def build_dataframe(
+    spark: SparkSession, query: Query, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Compile the IR to a DataFrame plan.
+
+    ``tables`` maps table names to DataFrames (the "datastore" boundary —
+    reference ``core/db_factory.py``). Filters are applied before
+    aggregation; Catalyst pushes them into the scans.
+    """
+    df = tables[query.table].alias(query.table_alias or query.table)
+    for j in query.joins:
+        right = tables[j.table].alias(j.alias or j.table)
+        df = df.join(right, on=F.expr(j.on), how=j.type)
+    for flt in query.filters:
+        df = df.filter(_filter_condition(flt))
+    if query.group_by:
+        agg_fields = [f for f in query.select if f.expr not in query.group_by]
+        gb_alias = {g: f"_gb{i}" for i, g in enumerate(query.group_by)}
+        df = df.groupBy(
+            *[F.expr(g).alias(a) for g, a in gb_alias.items()]
+        ).agg(*[_field_column(f) for f in agg_fields])
+        # re-project to requested select order/aliases (grouping expressions
+        # are referenced via their grouping alias — the base columns are gone)
+        out_cols = []
+        for f in query.select:
+            if f.expr in gb_alias:
+                out_cols.append(F.col(gb_alias[f.expr]).alias(f.alias or f.expr))
+            else:
+                out_cols.append(F.col(f.alias or f.expr))
+        df = df.select(*out_cols)
+    else:
+        df = df.select(*[_field_column(f) for f in query.select])
+    if query.order_by:
+        df = df.orderBy(
+            *[
+                F.expr(e).desc() if d.lower() == "desc" else F.expr(e).asc()
+                for e, d in query.order_by
+            ]
+        )
+    if query.limit is not None:
+        df = df.limit(query.limit)
+    return df

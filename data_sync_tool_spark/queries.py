@@ -1,0 +1,429 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (Spark callable,
+DuckDB oracle SQL) pair. ``__spark_entry__`` re-exports these.
+
+Conventions that keep the driver's value-hash compare honest:
+- every computed column is aliased IDENTICALLY in the Spark plan and the SQL;
+- float aggregates are rounded in-query on BOTH sides (summation order
+  differs across engines);
+- hashed string images use the same canonical form both sides
+  (``functions.hashes.concat_fields``: chr(31) separator, chr(0) for NULL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as TX
+from .functions.hashes import rowhash_int32
+from .operators.reconcile import MD5_SUM_HASH, ReconcileConfig, _status_join, block_digest
+from .plans.query import Field, Filter, Join, Query, build_dataframe
+from .sources.registry import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# DuckDB image of functions.hashes.rowhash_int32 / concat_fields
+def _dd_rowhash(*cols: str) -> str:
+    parts = ", ".join(f"coalesce(CAST({c} AS STRING), chr(0))" for c in cols)
+    return f"CAST(('0x' || substr(md5(concat_ws(chr(31), {parts})), 1, 8)) AS BIGINT)"
+
+
+def _tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — TPC-H Q1 shape on lineitem
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("l_returnflag"),
+            Field("l_linestatus"),
+            Field("round(sum(l_quantity), 2)", "sum_qty"),
+            Field("round(sum(l_extendedprice * (1 - l_discount)), 2)", "sum_disc_price"),
+            Field("round(avg(l_discount), 6)", "avg_disc"),
+            Field("count(1)", "count_order"),
+        ],
+        table="lineitem",
+        filters=[Filter("l_shipdate", "<=", "1998-09-01 00:00:00")],
+        group_by=["l_returnflag", "l_linestatus"],
+        order_by=[("l_returnflag", "asc"), ("l_linestatus", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+
+
+ORACLE_AGG_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           round(avg(l_discount), 6)                          AS avg_disc,
+           count(1)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# §2.3 joins — customer ⋈ orders ⋈ nation (multi-join pipeline, config.yaml:63-71)
+def q_join_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("n.n_name", "nation_name"),
+            Field("count(1)", "order_cnt"),
+            Field("round(sum(o.o_totalprice), 2)", "total_spend"),
+        ],
+        table="orders",
+        table_alias="o",
+        joins=[
+            Join(table="customer", alias="c", on="o.o_custkey = c.c_custkey", type="inner"),
+            Join(table="nation", alias="n", on="c.c_nationkey = n.n_nationkey", type="inner"),
+        ],
+        filters=[Filter("o.o_orderstatus", "!=", "P")],
+        group_by=["n.n_name"],
+        order_by=[("n_name", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders", "customer", "nation"]))
+
+
+ORACLE_JOIN_NATION = """
+    SELECT n.n_name AS nation_name, count(1) AS order_cnt,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_left_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("r.r_name", "region_name"),
+            Field("count(n.n_nationkey)", "nation_cnt"),
+        ],
+        table="region",
+        table_alias="r",
+        joins=[Join(table="nation", alias="n", on="n.n_regionkey = r.r_regionkey", type="left")],
+        group_by=["r.r_name"],
+        order_by=[("region_name", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["region", "nation"]))
+
+
+ORACLE_LEFT_JOIN = """
+    SELECT r.r_name AS region_name, count(n.n_nationkey) AS nation_cnt
+    FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region_name
+"""
+
+
+# §2.2 predicates — IN / BETWEEN / NOT / comparison (sqlglot1.py:73-106)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("l_orderkey"), Field("l_linenumber"), Field("l_quantity"),
+            Field("l_returnflag"),
+        ],
+        table="lineitem",
+        filters=[
+            Filter("l_quantity", "between", (10, 20)),
+            Filter("l_returnflag", "in", ["A", "N"]),
+            Filter("l_linestatus", "not_in", ["X"]),
+            Filter("l_discount", ">", 0.05),
+        ],
+        order_by=[("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        limit=500,
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+
+
+ORACLE_FILTERS = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'N')
+      AND l_linestatus NOT IN ('X')
+      AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber LIMIT 500
+"""
+
+
+# §2.2 CASE expression (sqlglot1.py:63-65)
+def q_case_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field(
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' "
+                "WHEN o_orderpriority = '3-MEDIUM' THEN 'medium' ELSE 'low' END",
+                "priority_class",
+            ),
+            Field("count(1)", "cnt"),
+        ],
+        table="orders",
+        group_by=[
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' "
+            "WHEN o_orderpriority = '3-MEDIUM' THEN 'medium' ELSE 'low' END"
+        ],
+        order_by=[("priority_class", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders"]))
+
+
+ORACLE_CASE = """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium' ELSE 'low' END AS priority_class,
+           count(1) AS cnt
+    FROM orders GROUP BY 1 ORDER BY priority_class
+"""
+
+
+# §2.5 ORDER BY + LIMIT (top-k)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[Field("o_orderkey"), Field("o_custkey"), Field("round(o_totalprice,2)", "price")],
+        table="orders",
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        limit=25,
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders"]))
+
+
+ORACLE_TOP_ORDERS = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# §2.5 window / intra-group ordering (adapters/postgres.py:74 analogue)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+ORACLE_LATEST_ORDER = """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+"""
+
+
+# §2.6 scalar functions — md5/substr/floor/epoch/lpad/concat/date_format
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.md5(F.col("event_type")).alias("type_md5"),
+        F.substring(F.col("event_type"), 1, 2).alias("type_pfx"),
+        F.floor(F.col("value")).cast("long").alias("val_floor"),
+        F.unix_timestamp(F.col("ts")).alias("epoch_s"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0").alias("id_pad"),
+        F.concat_ws("-", F.col("event_type"), F.col("event_id").cast("string")).alias("tag"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    ).orderBy("event_id")
+
+
+ORACLE_SCALARS = """
+    SELECT event_id,
+           md5(event_type)                        AS type_md5,
+           substr(event_type, 1, 2)               AS type_pfx,
+           CAST(floor(value) AS BIGINT)           AS val_floor,
+           CAST(floor(epoch(ts)) AS BIGINT)       AS epoch_s,
+           lpad(CAST(event_id AS STRING), 10, '0') AS id_pad,
+           concat_ws('-', event_type, CAST(event_id AS STRING)) AS tag,
+           strftime(ts, '%Y-%m-%d')               AS day
+    FROM events ORDER BY event_id
+"""
+
+
+# §2.4 rowhash virtual field (adapters/postgres.py:60-62)
+def q_rowhash_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("p_partkey"),
+            Field(
+                "rh", "row_hash", type="rowhash",
+                metadata={"fields": ["p_partkey", "p_name", "p_brand"], "strategy": MD5_SUM_HASH},
+            ),
+        ],
+        table="part",
+        order_by=[("p_partkey", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["part"]))
+
+
+ORACLE_ROWHASH = f"""
+    SELECT p_partkey, {_dd_rowhash('p_partkey', 'p_name', 'p_brand')} AS row_hash
+    FROM part ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 reconcile digests — source vs a deterministically perturbed sink
+_RECON_SINK_SQL = """
+    SELECT event_id, event_type FROM events WHERE event_id % 97 <> 0 AND event_id % 89 <> 0
+    UNION ALL
+    SELECT event_id, 'tweaked' AS event_type FROM events WHERE event_id % 89 = 0
+    UNION ALL
+    SELECT event_id + 1000000 AS event_id, event_type FROM events WHERE event_id % 101 = 0
+"""
+_RECON_CFG = ReconcileConfig(
+    partition_column="event_id",
+    partition_column_type="int",
+    strategy=MD5_SUM_HASH,
+    fields=["event_id", "event_type"],
+    initial_partition_interval=1000,
+    max_block_size=1000,
+)
+_RECON_LO, _RECON_HI = 0, 2_000_000
+
+
+def _recon_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    src = spark.sql("SELECT event_id, event_type FROM events")
+    snk = spark.sql(_RECON_SINK_SQL)
+    return src, snk
+
+
+def q_reconcile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, _ = _recon_sides(spark, sf_dir)
+    return block_digest(src, _RECON_CFG, 1000, _RECON_LO, _RECON_HI).orderBy("bucket")
+
+
+ORACLE_RECON_DIGEST = f"""
+    SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket,
+           count(1) AS num_rows,
+           CAST(sum({_dd_rowhash('event_id', 'event_type')}) AS STRING) AS hash
+    FROM events
+    WHERE event_id >= 0 AND event_id < 2000000
+    GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_reconcile_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, snk = _recon_sides(spark, sf_dir)
+    s = block_digest(src, _RECON_CFG, 1000, _RECON_LO, _RECON_HI)
+    k = block_digest(snk, _RECON_CFG, 1000, _RECON_LO, _RECON_HI)
+    return _status_join(s, k).orderBy("bucket")
+
+
+ORACLE_RECON_STATUS = f"""
+    WITH sink_events AS ({_RECON_SINK_SQL}),
+    src_d AS (
+      SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket, count(1) AS num_rows,
+             CAST(sum({_dd_rowhash('event_id', 'event_type')}) AS STRING) AS hash
+      FROM events WHERE event_id >= 0 AND event_id < 2000000 GROUP BY 1
+    ),
+    snk_d AS (
+      SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket, count(1) AS num_rows,
+             CAST(sum({_dd_rowhash('event_id', 'event_type')}) AS STRING) AS hash
+      FROM sink_events WHERE event_id >= 0 AND event_id < 2000000 GROUP BY 1
+    )
+    SELECT COALESCE(s.bucket, k.bucket) AS bucket,
+           GREATEST(COALESCE(s.num_rows, 0), COALESCE(k.num_rows, 0)) AS num_rows,
+           CASE WHEN s.bucket IS NULL THEN 'D'
+                WHEN k.bucket IS NULL THEN 'A'
+                WHEN s.num_rows = k.num_rows AND s.hash = k.hash THEN 'N'
+                ELSE 'M' END AS status
+    FROM src_d s FULL OUTER JOIN snk_d k ON s.bucket = k.bucket
+    ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("tok_cnt"),
+        TX.word_chars(t).alias("alnum_chars"),
+        TX.fingerprint(t).alias("fp"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_STATS = r"""
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END          AS tok_cnt,
+      length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))                AS alnum_chars,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))              AS fp,
+      round(
+        (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) * 1.0 / length(text)
+              ELSE 0 END)
+        * least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 20.0)
+      , 6)                                                                  AS quality
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess")).orderBy("doc_id")
+
+
+def _dd_marker_score(lang: str) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in TX.LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _dd_langid_sql() -> str:
+    langs = list(TX.LANG_MARKERS)
+    scores = ", ".join(f"({_dd_marker_score(lg)}) AS s_{lg}" for lg in langs)
+    # strict > with fixed order = first language wins ties (matches Spark impl)
+    best = "CASE "
+    for i, lg in enumerate(langs):
+        gt = " AND ".join(f"s_{lg} > s_{o}" for o in langs[:i])
+        ge = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1:])
+        cond = " AND ".join(x for x in [f"s_{lg} > 0", gt, ge] if x)
+        best += f"WHEN {cond} THEN '{lg}' "
+    best += "ELSE 'und' END"
+    return f"""
+        SELECT doc_id, {best} AS lang_guess FROM (
+          SELECT doc_id, {scores}
+          FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents)
+        ) ORDER BY doc_id
+    """
+
+
+ORACLE_DOC_LANGID = _dd_langid_sql()
+
+
+# ---------------------------------------------------------------------------
+def catalog() -> dict[str, tuple[QueryFn, str | None]]:
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_AGG_PRICING),
+        "join_orders_per_nation": (q_join_orders_per_nation, ORACLE_JOIN_NATION),
+        "left_join_regions": (q_left_join_regions, ORACLE_LEFT_JOIN),
+        "filter_predicates": (q_filter_predicates, ORACLE_FILTERS),
+        "case_priority": (q_case_priority, ORACLE_CASE),
+        "top_orders": (q_top_orders, ORACLE_TOP_ORDERS),
+        "latest_order_per_customer": (q_latest_order_per_customer, ORACLE_LATEST_ORDER),
+        "scalar_functions": (q_scalar_functions, ORACLE_SCALARS),
+        "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
+        "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
+        "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
+        "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
+        "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
+    }
