@@ -1,0 +1,215 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+- ``brute_force_topk`` : exact cosine top-k — JVM higher-order-function dot
+  products, per-query top-k via window. The correctness baseline.
+- ``lsh_topk``         : sign-random-projection LSH — deterministic
+  hyperplanes from a seeded hash, bucket join on bit-prefix, exact re-rank
+  inside buckets. The scale path: candidate count ~ corpus/2^bits per probe.
+- ``ivf_topk``         : IVF-flat — deterministic centroid sample, vectors
+  assigned to nearest centroid (numpy over Arrow batches), queries probe the
+  ``n_probe`` nearest centroid lists only.
+- ``embedding_near_dup_pairs`` : near-duplicate detection at threshold via
+  the LSH buckets (the embedding-cosine entry of the dedup suite).
+
+At 100 TB the corpus side is bucketed once and reused across query batches;
+all three paths avoid a full cross-join except the deliberately-exact
+baseline, whose cross join is partition-parallel (corpus × query-broadcast).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, l2_normalize
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) exact top-k per query (self-match
+    excluded). Query side is broadcast: each corpus partition scores its own
+    rows — no shuffle until the (tiny) per-query top-k reduction."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def _srp_bits(vec_col: str, n_bits: int, dim: int, seed: int) -> F.Column:
+    """Sign-random-projection bucket id: deterministic pseudo-random
+    hyperplanes h[b][d] = xxhash64(seed,b,d)-derived ±weights, computed as
+    JVM expressions (no plane matrix to broadcast, no RNG state)."""
+    v = F.col(vec_col)
+    bits = []
+    for b in range(n_bits):
+        # plane weight for dim d: map hash to [-1,1) deterministically
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(b), d), F.lit(2_000_001))
+                        - F.lit(1_000_000)
+                    ) / F.lit(1_000_000.0),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates = same SRP bucket in ANY of ``n_tables``
+    tables; exact cosine re-rank inside candidates."""
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, ident: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_v"))
+        return out.select(
+            "*",
+            F.posexplode(
+                F.array(*[_srp_bits(f"{ident}_v", n_bits, dim, seed + t) for t in range(n_tables)])
+            ).alias("tbl", "bucket"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id")
+    qb = with_buckets(queries, "query_id")
+    cands = (
+        cb.join(qb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: centroids = deterministic hash-min sample of corpus
+    vectors (stable across partitionings); every vector assigned to its
+    nearest centroid via numpy argmax over Arrow batches. Returns
+    (assigned corpus df + 'list_id', centroids df)."""
+    from pyspark.sql import types as T
+
+    centroids = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("centroid"))
+    )
+    cent_rows = centroids.collect()  # n_centroids rows — broadcast-sized by design
+    cmat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    cids = np.asarray([r["list_id"] for r in cent_rows], dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
+
+    assigned = corpus.withColumn("list_id", _assign(F.col(vec_col)))
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat search: queries probe their ``n_probe`` nearest centroid
+    lists; exact cosine re-rank within the probed lists."""
+    assigned, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    qc = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_scores = qc.join(F.broadcast(centroids)).select(
+        "query_id", "qv", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("cs")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("list_id"))
+    probes = (
+        probe_scores.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    cands = probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    n_tables: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """(a, b, cos) embedding near-duplicates: SRP-bucket candidates, exact
+    cosine verify at ``threshold``. The embedding-cosine member of the dedup
+    suite."""
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucketed = base.select(
+        "id", "v",
+        F.posexplode(
+            F.array(*[_srp_bits("v", n_bits, dim, seed + t) for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    l = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket")
+    r = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "tbl", "bucket")
+    cands = (
+        l.join(r, ["tbl", "bucket"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb").dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -410,6 +410,201 @@ ORACLE_DOC_LANGID = _dd_langid_sql()
 
 
 # ---------------------------------------------------------------------------
+# dedup suite + similarity search
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_suite import exact_duplicate_groups
+
+    docs = read_table(spark, sf_dir, "documents")
+    # plant deterministic duplicates so the check is non-trivial on any sf
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+    )
+    return exact_duplicate_groups(planted).orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = r"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM planted),
+    grp AS (SELECT fp, min(doc_id) AS canonical_id, count(1) AS n FROM fp GROUP BY fp)
+    SELECT f.doc_id, g.canonical_id, f.fp
+    FROM fp f JOIN grp g USING (fp) WHERE g.n > 1 ORDER BY f.doc_id
+"""
+
+
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_suite import minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=4, shingle_k=5, hash_mode="md5")
+    return sig.select(
+        F.col("id").alias("doc_id"), *[F.col("sig")[i].alias(f"mh_{i}") for i in range(4)]
+    ).orderBy("doc_id")
+
+
+def _dd_minhash(seed: int) -> str:
+    return (
+        "list_min(list_transform(sh, s -> "
+        f"CAST(('0x' || substr(md5('{seed}' || s), 1, 8)) AS BIGINT)))"
+    )
+
+
+ORACLE_DEDUP_MINHASH = rf"""
+    WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(1, length(nt) - 4) + 1),
+                                 i -> substr(nt, i, 5)) AS sh
+           FROM t)
+    SELECT doc_id, {_dd_minhash(0)} AS mh_0, {_dd_minhash(1)} AS mh_1,
+                   {_dd_minhash(2)} AS mh_2, {_dd_minhash(3)} AS mh_3
+    FROM sh ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at threshold (approximate — no SQL oracle; pair
+    semantics are pytest-verified on fixtures)."""
+    from .operators.dedup_suite import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+    )
+    return minhash_lsh_pairs(planted, threshold=0.8).orderBy("a", "b")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_suite import simhash_near_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+    )
+    return simhash_near_pairs(planted, max_hamming=3).orderBy("a", "b")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-jaccard near-dup pairs on planted duplicates; oracle computes
+    the same pairs by brute force (blocking cannot lose an exact duplicate:
+    identical docs share every block)."""
+    from .operators.dedup_suite import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+    )
+    return ngram_jaccard_pairs(planted, threshold=0.999).orderBy("a", "b")
+
+
+ORACLE_DEDUP_NGRAM = r"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 4) + 1),
+                    i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 5))) AS sh
+           FROM planted)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.999
+    ORDER BY a, b
+"""
+
+
+def q_emb_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 5).alias("cos5")
+    ).orderBy("query_id", "neighbor_id")
+
+
+# double-precision cosine (sequential sums) — bit-matches the Spark fold;
+# DuckDB's list_cosine_similarity computes in float32 and drifts at 5dp
+def _dd_cos(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(range(1, len({a}) + 1), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+ORACLE_EMB_TOPK = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_dd_cos('q.embedding', 'c.embedding')}, 6) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 5) AS cos5
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SRP-LSH on planted exact duplicates — identical
+    vectors always share every bucket, so recall is 1.0 and the brute-force
+    oracle is exact."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+    )
+    return embedding_near_dup_pairs(planted, threshold=0.9999).orderBy("a", "b")
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_dd_cos('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+    WHERE round({_dd_cos('a.embedding', 'b.embedding')}, 6) >= 0.9999
+    ORDER BY a, b
+"""
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "neighbor_id")
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
@@ -426,4 +621,12 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
         "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
         "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
+        "dedup_exact_groups": (q_dedup_exact_groups, ORACLE_DEDUP_EXACT),
+        "dedup_minhash_signature": (q_dedup_minhash_signature, ORACLE_DEDUP_MINHASH),
+        "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+        "emb_brute_topk": (q_emb_brute_topk, ORACLE_EMB_TOPK),
+        "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
+        "emb_ivf_topk": (q_emb_ivf_topk, None),
     }

@@ -1,0 +1,154 @@
+"""Dedup suite + similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.operators.dedup_suite import (
+    exact_dedupe,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from data_sync_tool_spark.operators.multimodal import (
+    decode_image,
+    deterministic_fake_decoder,
+    extract_features,
+    resize_plan,
+    sample_frames,
+    synthesize_media,
+)
+from data_sync_tool_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " tonight"),  # near dup of 0
+        (3, "completely different content about spark shuffle partitions and skew"),
+        (4, "  THE   quick brown fox jumps over the lazy dog and keeps running far away "),  # fp dup after normalization
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet").cache()
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = exact_duplicate_groups(docs)
+    ids = {r.doc_id: r.canonical_id for r in groups.collect()}
+    assert ids == {0: 0, 1: 0, 4: 0}
+    kept = exact_dedupe(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.4 <= pairs[(0, 2)] < 1.0
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs: identical simhash
+    assert (0, 2) in pairs  # near dup within hamming budget
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_brute_force_topk_self_retrieval(spark, emb):
+    # each vector's own duplicate copy should rank at cos≈1.0; here we check
+    # structure: k rows per query, sorted by cos, no self matches
+    q = emb.limit(5)
+    out = brute_force_topk(emb, q, k=3)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {r.vec_id for r in q.collect()}
+    for qid, rs in per_q.items():
+        assert len(rs) == 3
+        assert all(r.neighbor_id != qid for r in rs)
+        cs = [r.cos for r in rs]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_topk_recall_against_brute_force(spark, emb):
+    q = emb.limit(5)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, n_bits=3, n_tables=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_against_brute_force(spark, emb):
+    q = emb.limit(5)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs_finds_planted_dup(spark, emb):
+    # plant an exact duplicate vector under a new id
+    first = emb.limit(1).select(F.lit(999_999).alias("vec_id"), "embedding", "label")
+    planted = emb.unionByName(first)
+    pairs = embedding_near_dup_pairs(planted, threshold=0.999)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    orig = emb.first()["vec_id"]
+    assert (orig, 999_999) in found
+
+
+def test_multimodal_pipeline_with_fake_decoder(spark):
+    media = synthesize_media(spark, 50)
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    feats = extract_features(media, n_features=8, decoder=deterministic_fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 50 and all(len(r.features) == 8 for r in rows)
+    # determinism across partitionings
+    feats2 = extract_features(media.repartition(7), n_features=8,
+                              decoder=deterministic_fake_decoder)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, feats2.collect()))
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception, match="(?i)imaging library|NotImplemented"):
+        extract_features(media, decoder=decode_image).collect()
+
+
+def test_frame_sampling_and_resize_plan(spark):
+    media = synthesize_media(spark, 200)
+    frames = sample_frames(media, every_ms=10_000)
+    joined = frames.join(media, "media_id").select("media_id", "frame_ts_ms", "meta.duration_ms")
+    assert joined.filter(F.col("frame_ts_ms") > F.col("duration_ms")).count() == 0
+    assert frames.count() > 0
+    rp = resize_plan(media, max_side=256)
+    bad = rp.filter(
+        F.col("needs_resize") & (F.greatest("meta.width", "meta.height") <= 256)
+    ).count()
+    assert bad == 0
