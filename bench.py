@@ -54,14 +54,30 @@ def main() -> None:
         ch = changelog_stream(
             spark, n_events, n_convs=50_000, max_turns=64,
             hot_fraction=0.2, n_hot=4,
+            # enough generator partitions that each binlog chunk lands as
+            # multiple parquet files — the stream read then parallelizes
+            # regardless of how many cores wrote it
+            num_partitions=max(64, 8 * n_chunks),
         )
         gen_sec = _t(lambda: write_stream_chunks(ch, f"{work}/binlog", n_chunks))
         queries["binlog_gen"] = gen_sec
 
         mode = os.environ.get("DST_BENCH_MODE", "mor")
+        # untimed warmup: a tiny replay through the identical code path warms
+        # JIT/codegen/classloading so the timed section measures steady-state
+        # throughput (the regime that matters at 10^10 events), not JVM warmup
+        warm = changelog_stream(spark, 50_000, n_convs=1000, num_partitions=8)
+        write_stream_chunks(warm, f"{work}/warmlog", 2)
+        wt = LakeTable(spark, f"{work}/warmtbl", ["conv_id", "turn_idx"],
+                       n_buckets=8, checksum=False, merge_mode=mode, track_stats=False)
+        CdcPipeline(
+            spark, f"{work}/warmlog/chunk-*", wt, f"{work}/warmckpt",
+            name="warm", max_files_per_trigger=None, track_offsets=False,
+        ).run_available()
+
         table = LakeTable(
             spark, f"{work}/table", ["conv_id", "turn_idx"],
-            n_buckets=64, checksum=False, merge_mode=mode,
+            n_buckets=64, checksum=False, merge_mode=mode, track_stats=False,
         )
         pipe = CdcPipeline(
             spark, f"{work}/binlog/chunk-*", table, f"{work}/ckpt",
@@ -80,6 +96,24 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     # ---- batch queries at sf_dir --------------------------------------------
+    if os.environ.get("DST_BENCH_REPLAY_ONLY"):
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_stream_replay_wall_sec",
+                    "value": replay_sec,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf_dir,
+                    "bench_events": n_events,
+                    "events_per_sec": events_per_sec,
+                    "final_table_rows": final_rows,
+                    "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+                }
+            )
+        )
+        return
+
     for name, fn in E.queries().items():
         if name == "cdc_merge_replay":
             continue  # covered (bigger) by the headline stream replay

@@ -132,6 +132,8 @@ def get_data_range(
         return cfg.start, cfg.end
     lo, hi = None, None
     for df in (source_df, sink_df):
+        if cfg.partition_column not in df.columns:
+            continue  # uninitialized side (e.g. empty sink before first load)
         r = df.agg(
             F.min(_partition_value(cfg)).alias("lo"), F.max(_partition_value(cfg)).alias("hi")
         ).first()
@@ -153,6 +155,10 @@ def block_digest(df: DataFrame, cfg: ReconcileConfig, interval: int,
     """One side's per-bucket digest at one ladder level:
     ``groupBy(floor(x/interval)) → (num_rows, hash)``. A single distributed
     hash aggregate — the Spark realization of ``build_block_hash_query``."""
+    if cfg.partition_column not in df.columns:  # uninitialized side
+        return df.sparkSession.createDataFrame(
+            [], "bucket long, num_rows long, hash string"
+        )
     x = _partition_value(cfg)
     pre = df.filter((x >= F.lit(lo)) & (x < F.lit(hi))).select(
         F.floor(x / F.lit(interval)).cast("long").alias("bucket"),
@@ -291,6 +297,8 @@ def plan_repair(
     never read thanks to partition-column pushdown of the range predicate.
     """
     spark = source_df.sparkSession
+    if cfg.partition_column not in sink_df.columns:  # uninitialized sink
+        sink_df = source_df.limit(0)
     am = [(b.start, b.end) for b in blocks if b.status in ("M", "A")]
     d = [(b.start, b.end) for b in blocks if b.status == "D"]
 

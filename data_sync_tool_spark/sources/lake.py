@@ -94,6 +94,7 @@ class LakeTable:
         n_buckets: int = 32,
         checksum: bool = True,
         merge_mode: str = "cow",
+        track_stats: bool = True,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
@@ -103,6 +104,9 @@ class LakeTable:
         self.n_buckets = n_buckets
         self.checksum = checksum
         self.merge_mode = merge_mode
+        # per-batch op-count lineage costs one extra scan of the batch;
+        # max-throughput ingest turns it off (offsets/rows still recorded)
+        self.track_stats = track_stats
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
 
@@ -239,7 +243,18 @@ class LakeTable:
             self.path, _DATA_DIR,
             f"snap-{self.current_version() + 1:012d}-{uuid.uuid4().hex[:8]}",
         )
-        df.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
+        # cluster rows by bucket BEFORE the partitioned write: without this,
+        # every shuffle task opens a writer per bucket (tasks × buckets small
+        # files — the classic partitionBy explosion, and it gets WORSE with
+        # more cores); with it, each task writes whole buckets (≤1 file per
+        # bucket per commit) and the per-batch file count is O(n_buckets),
+        # independent of parallelism.
+        (
+            df.repartition(self.n_buckets, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("errorifexists")
+            .parquet(snap)
+        )
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(snap)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -338,12 +353,12 @@ class LakeTable:
             # allow_delete=False, core/config.py:158-160)
             batch = batch.filter(F.col("_op") != F.lit("delete"))
 
-        stats = {
-            "op_counts": {
+        stats: dict[str, Any] = {}
+        if self.track_stats:
+            stats["op_counts"] = {
                 r["_op"]: r["n"]
                 for r in batch.groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
             }
-        }
         if strategy == "collapse":
             return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra)
         if strategy == "delete_insert":
@@ -356,6 +371,9 @@ class LakeTable:
 
         m = self._load_manifest()
         if self.merge_mode == "mor":
+            # no pre-read, no dirty-bucket job: the write itself reveals which
+            # buckets got deltas (dir listing), so MoR ingest is exactly ONE
+            # scan + one shuffle + one write per batch.
             new = self._write_snapshot(deduped)
             buckets = dict(m["buckets"]) if m else {}
             for b, fs in new.items():

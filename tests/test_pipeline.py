@@ -1,0 +1,114 @@
+"""End-to-end pipeline runner: YAML config → source plan → reconcile/
+incremental sync into a lake sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.config import Config
+from data_sync_tool_spark.pipeline import Pipeline, SchemaValidationError
+
+YAML = """
+datastores:
+  - name: files
+    type: parquet
+    path: "{sf}"
+  - name: warehouse
+    type: lake
+    path: "{lake}"
+    options: {{n_buckets: "8"}}
+pipelines:
+  - name: orders_sync
+    source:
+      datastore: files
+      table: {{table: orders}}
+      filters:
+        - {{column: o_orderstatus, operator: '!=', value: 'X'}}
+    sink:
+      datastore: warehouse
+      table: {{table: orders_mirror}}
+      fields:
+        - {{column: o_orderkey, dtype: int}}
+        - {{column: o_custkey, dtype: int}}
+        - {{column: o_totalprice, dtype: float}}
+        - {{column: o_orderdate, dtype: datetime}}
+      meta_columns: {{unique_columns: [o_orderkey], partition_column: o_orderkey}}
+    merge_strategy: {{strategy: upsert, allow_delete: true}}
+    reconciliation:
+      - name: full
+        strategy: md5sum_hash
+        partition_column: o_orderkey
+        partition_column_type: int
+        initial_partition_interval: 100000
+        max_block_size: 1000
+      - name: incr
+        strategy: updated_at
+        partition_column: o_orderkey
+        partition_column_type: int
+"""
+
+
+@pytest.fixture()
+def pipe(spark, sf_small, tmp_path):
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(YAML.format(sf=sf_small, lake=tmp_path / "lake"))
+    return Pipeline(spark, Config.load(str(cfg_path)), "orders_sync")
+
+
+def test_full_reconcile_bootstrap_and_converge(spark, pipe, sf_small):
+    # empty sink → everything is 'A'; apply → sink mirrors source
+    out = pipe.run_reconciliation("full", apply=True)
+    n_src = spark.read.parquet(f"{sf_small}/orders.parquet").count()
+    assert out["counts"]["A"] == n_src
+    assert pipe.sink_lake().read().count() == n_src
+    # second pass: all N, nothing written
+    out2 = pipe.run_reconciliation("full", apply=False)
+    assert out2["counts"]["M"] == 0 and out2["counts"]["A"] == 0 and out2["counts"]["D"] == 0
+    assert out2["counts"]["N"] == n_src
+
+
+def test_reconcile_detects_and_repairs_drift(spark, pipe):
+    pipe.run_reconciliation("full", apply=True)
+    lake = pipe.sink_lake()
+    # corrupt the sink: drop some rows and modify others (drift injection)
+    snap = lake.read()
+    drifted = snap.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    lake.overwrite(drifted.drop("_lsn"), batch_id="drift")
+    out = pipe.run_reconciliation("full", apply=True)
+    assert out["counts"]["M"] + out["counts"]["A"] > 0
+    out2 = pipe.run_reconciliation("full", apply=False)
+    assert out2["counts"]["M"] == 0 and out2["counts"]["A"] == 0 and out2["counts"]["D"] == 0
+
+
+def test_incremental_watermark_sync(spark, pipe, sf_small):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    mid = max_key // 2
+    # first incremental: everything up to mid (simulate old snapshot)
+    r1 = pipe.run_incremental("incr", watermark=None)
+    assert r1["watermark"] == max_key
+    # no new data → no-op, watermark persisted in lineage
+    r2 = pipe.run_incremental("incr")
+    assert r2["rows_written"] == 0
+    assert pipe.last_watermark("incr") == str(max_key)
+    # filters in source config applied before merge
+    assert pipe.sink_lake().read().count() == orders.count()
+    assert r1["rows_written"] == orders.count()
+    assert mid > 0  # sanity
+
+
+def test_schema_validation_rejects_unknown_columns(spark, sf_small, tmp_path):
+    bad_yaml = YAML.format(sf=sf_small, lake=tmp_path / "lake").replace(
+        "o_orderkey, dtype: int", "nonexistent_col, dtype: int", 1
+    )
+    p = tmp_path / "bad.yaml"
+    p.write_text(bad_yaml)
+    pipe = Pipeline(spark, Config.load(str(p)), "orders_sync")
+    with pytest.raises(SchemaValidationError, match="nonexistent_col"):
+        pipe.source_df()
