@@ -216,7 +216,9 @@ class DatastoreConfig(BaseModel):
     connectors when their drivers are present (``core/config.py:87-113``)."""
 
     name: str
-    type: Literal["parquet", "lake", "jdbc", "memory"] = "parquet"
+    # open string, not a Literal: custom adapter types are first-class
+    # (reference custom adapters, utils/utils_fn.py:19-32)
+    type: str = "parquet"
     path: Optional[str] = None
     options: dict[str, str] = {}
 

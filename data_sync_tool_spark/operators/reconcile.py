@@ -275,6 +275,23 @@ def status_counts(blocks: list[Block]) -> dict[str, int]:
     return out
 
 
+def find_diff_timegroups(
+    source_df: DataFrame,
+    sink_df: DataFrame,
+    cfg: ReconcileConfig,
+    interval: int | None = None,
+) -> DataFrame:
+    """Single-level per-timegroup digest diff (``engine/diff.py:3-5``): one
+    digest per side at one interval, full-outer status join, return only the
+    divergent groups — the reference's earlier non-hierarchical strategy.
+    Output: (bucket, num_rows, status≠N)."""
+    interval = interval or cfg.intervals()[0]
+    lo, hi = get_data_range(source_df, sink_df, cfg)
+    s = block_digest(source_df, cfg, interval, lo, hi)
+    k = block_digest(sink_df, cfg, interval, lo, hi)
+    return _status_join(s, k).filter(F.col("status") != "N")
+
+
 # ----------------------------------------------------------------- repair
 def plan_repair(
     source_df: DataFrame,

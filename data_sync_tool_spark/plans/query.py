@@ -65,6 +65,10 @@ class Query:
     group_by: list[str] = dc_field(default_factory=list)
     order_by: list[tuple[str, str]] = dc_field(default_factory=list)  # (expr, asc|desc)
     limit: int | None = None
+    # CTEs (reference apijson.py:4-10 / sqlglot1.py:109-118): name → subquery,
+    # usable as `table` or a join target in this query. Compiled to plain
+    # DataFrame subplans — Catalyst inlines or reuses them as it sees fit.
+    with_tables: dict[str, "Query"] = dc_field(default_factory=dict)
 
 
 def _field_column(f: Field) -> Column:
@@ -123,6 +127,10 @@ def build_dataframe(
     reference ``core/db_factory.py``). Filters are applied before
     aggregation; Catalyst pushes them into the scans.
     """
+    if query.with_tables:
+        tables = dict(tables)
+        for name, sub in query.with_tables.items():
+            tables[name] = build_dataframe(spark, sub, tables)
     df = tables[query.table].alias(query.table_alias or query.table)
     for j in query.joins:
         right = tables[j.table].alias(j.alias or j.table)

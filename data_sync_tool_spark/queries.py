@@ -221,6 +221,49 @@ ORACLE_LATEST_ORDER = """
 """
 
 
+# §2.5 CTEs (apijson.py:4-10, sqlglot1.py:109-118)
+def q_cte_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        with_tables={
+            "big_orders": Query(
+                select=[Field("o_custkey"), Field("o_totalprice")],
+                table="orders",
+                filters=[Filter("o_totalprice", ">", 100_000.0)],
+            )
+        },
+        select=[
+            Field("c.c_mktsegment", "segment"),
+            Field("count(1)", "cnt"),
+            Field("round(sum(b.o_totalprice), 2)", "revenue"),
+        ],
+        table="big_orders",
+        table_alias="b",
+        joins=[Join(table="customer", alias="c", on="b.o_custkey = c.c_custkey")],
+        group_by=["c.c_mktsegment"],
+        order_by=[("segment", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders", "customer"]))
+
+
+ORACLE_CTE = """
+    WITH big_orders AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    )
+    SELECT c.c_mktsegment AS segment, count(1) AS cnt,
+           round(sum(b.o_totalprice), 2) AS revenue
+    FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+"""
+
+
+# §2.7 find_diff_timegroups (engine/diff.py:3-5) — single-level digest diff
+def q_diff_timegroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reconcile import find_diff_timegroups
+
+    src, snk = _recon_sides(spark, sf_dir)
+    return find_diff_timegroups(src, snk, _RECON_CFG, interval=1000).orderBy("bucket")
+
+
 # §2.6 scalar functions — md5/substr/floor/epoch/lpad/concat/date_format
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -617,8 +660,14 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "latest_order_per_customer": (q_latest_order_per_customer, ORACLE_LATEST_ORDER),
         "scalar_functions": (q_scalar_functions, ORACLE_SCALARS),
         "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
+        "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
         "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
+        "reconcile_diff_timegroups": (
+            q_diff_timegroups,
+            f"SELECT bucket, num_rows, status FROM ({ORACLE_RECON_STATUS}) "
+            "WHERE status <> 'N' ORDER BY bucket",
+        ),
         "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
         "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
         "dedup_exact_groups": (q_dedup_exact_groups, ORACLE_DEDUP_EXACT),
