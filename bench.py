@@ -34,7 +34,7 @@ def _t(fn):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_events = int(os.environ.get("DST_BENCH_EVENTS", "1000000"))
+    n_events = int(os.environ.get("DST_BENCH_EVENTS", "4000000"))
     n_chunks = int(os.environ.get("DST_BENCH_CHUNKS", "8"))
 
     from data_sync_tool_spark.session import build_session

@@ -22,12 +22,22 @@ Determinism: every hash seed derives from literal ints; no RNG state.
 All pair outputs are canonicalized (a < b) and deduped.
 """
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs arrive as one or two parquet splits; the shingle/hash
+    passes then run on one core. Fan the rows out to the session's default
+    parallelism BEFORE the expensive per-row work (a tiny shuffle of raw
+    text). A 100 TB input already has thousands of splits — this is a no-op
+    there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ------------------------------------------------------------------ exact
@@ -66,6 +76,30 @@ def _seeded_hash(seed: int, s: Column, hash_mode: str) -> Column:
     ).cast("long")
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    with_len: bool = False,
+) -> DataFrame:
+    """(id, s[, _len]) — one row per character k-shingle position.
+
+    Deliberately NOT an array<string> column: building per-doc shingle arrays
+    with ``transform(sequence(...), i -> substring(...))`` measured ~25x
+    slower than exploding the index sequence and substring-ing per row (array
+    construction of hundreds of small strings per row defeats codegen).
+    Downstream per-doc sets are rebuilt with ``collect_set`` AFTER hashing the
+    shingle to int64 — longs, not strings, cross the shuffle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), norm.alias("_nt"))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_nt") - F.lit(k - 1)))
+    extra = [F.length("_nt").alias("_len")] if with_len else []
+    return base.select("id", *extra, "_nt", F.explode(idx).alias("_i")).select(
+        "id", *(["_len"] if with_len else []), F.expr(f"substring(_nt, _i, {k})").alias("s")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -73,6 +107,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_k: int = 5,
     hash_mode: str = "xxhash64",
+    with_shingles: bool = True,
 ) -> DataFrame:
     """(id, sig: array<long>, sh: array<string>) — minhash per doc as
     explode → per-id min aggregate: one shingle pass, one partial-aggregated
@@ -82,21 +117,24 @@ def minhash_signatures(
     lambdas over an inlined shingle lambda — Catalyst's projection collapse
     miscompiles that shape: nested named-lambda variables collide after
     inlining. Exploding is also the better plan at scale: the hash scans
-    pipeline inside one stage and the min is map-side combined.)"""
-    shingled = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    pipeline inside one stage and every aggregate is map-side combined.)
+
+    ``with_shingles`` adds ``sh: array<long>`` — the doc's DISTINCT shingle
+    set as int64 xxhash64 values (for exact-Jaccard verification), built in
+    the SAME aggregation pass."""
+    ex = exploded_shingles(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min(_seeded_hash(seed, F.col("s"), hash_mode)).alias(f"_mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    if with_shingles:
+        aggs.append(F.collect_set(F.xxhash64("s")).alias("sh"))
+    g = ex.groupBy("id").agg(*aggs)
+    return g.select(
+        "id",
+        F.array(*[F.col(f"_mh{seed}") for seed in range(n_hashes)]).alias("sig"),
+        *(["sh"] if with_shingles else []),
     )
-    exploded = shingled.select("id", F.explode("sh").alias("s"))
-    mins = exploded.groupBy("id").agg(
-        *[
-            F.min(_seeded_hash(seed, F.col("s"), hash_mode)).alias(f"_mh{seed}")
-            for seed in range(n_hashes)
-        ]
-    )
-    sig = mins.select(
-        "id", F.array(*[F.col(f"_mh{seed}") for seed in range(n_hashes)]).alias("sig")
-    )
-    return sig.join(shingled, "id")
 
 
 def minhash_lsh_pairs(
@@ -117,9 +155,10 @@ def minhash_lsh_pairs(
     candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).select(
-        "id", "sig", F.array_distinct("sh").alias("sh")
-    )
+    # sh is the doc's distinct shingle set as int64 hashes: the exact-Jaccard
+    # verify compares longs, not strings (~10x cheaper intersects; 64-bit
+    # collisions are negligible at any realistic shingle-set size)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     banded = sig.select(
         "id", "sh",
         F.posexplode(
@@ -137,11 +176,18 @@ def minhash_lsh_pairs(
     cands = (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
+        # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+        # whose set sizes disagree too much cannot clear the threshold —
+        # pruned BEFORE the expensive intersect
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .select("a", "b", "sh_a", "sh_b")
         .dropDuplicates(["a", "b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cands.withColumn("jaccard", F.round(jac, 6))
@@ -153,36 +199,30 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- simhash
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               shingle_k: int = 4) -> DataFrame:
-    """(id, simhash:long) — sign of per-bit weighted sums over shingle
-    hashes. numpy over Arrow batches (the 64-bit-unpack inner loop is what
-    pandas_udf exists for); everything before/after stays JVM-side."""
-    from pyspark.sql import types as T
-
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(shingles(F.col(text_col), shingle_k)),
-            lambda s: F.xxhash64(s),
-        ).alias("hs"),
+    """(id, simhash:long) — per-bit majority vote over the doc's distinct
+    shingle hashes, as 64 JVM ``sum`` aggregates in ONE pass (each map-side
+    combined). No Python/pandas anywhere: the bit-unpack is shift/and
+    arithmetic, which codegen handles better than an Arrow round-trip."""
+    ex = exploded_shingles(df, text_col, id_col, shingle_k).dropDuplicates(["id", "s"])
+    h = ex.select("id", F.xxhash64("s").alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
-
-    @F.pandas_udf(T.LongType())
-    def _sim(hs: pd.Series) -> pd.Series:
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                out[i] = 0
-                continue
-            a = np.asarray(arr, dtype=np.uint64)
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(a)  # +1/-1 per shingle per bit
-            out[i] = np.int64(
-                np.bitwise_or.reduce((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-                .astype(np.int64)
-            )
-        return pd.Series(out)
-
-    return hashed.select("id", _sim("hs").alias("simhash"))
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim.bitwiseOR(t)
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -231,10 +271,10 @@ def ngram_jaccard_pairs(
     """Exact Jaccard within length-bucket blocks: two docs with Jaccard ≥ t
     have similar lengths, so blocking on floor(len/band) (+neighbor) keeps
     recall while bounding the join. Returns (a, b, jaccard)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-        F.floor(F.length(F.trim(F.col(text_col))) / length_band).alias("lb"),
+    ex = exploded_shingles(df, text_col, id_col, shingle_k, with_len=True)
+    base = ex.groupBy("id").agg(
+        F.collect_set(F.xxhash64("s")).alias("sh"),
+        F.floor(F.max("_len") / length_band).alias("lb"),
     )
     # each doc lands in its own block and the previous one → neighbor pairs meet
     blocked = base.select(
@@ -244,10 +284,14 @@ def ngram_jaccard_pairs(
     r = blocked.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), "blk")
     cands = (
         l.join(r, "blk").filter(F.col("a") < F.col("b"))
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .select("a", "b", "sh_a", "sh_b").dropDuplicates(["a", "b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cands.withColumn("jaccard", F.round(jac, 6))

@@ -35,8 +35,10 @@ def brute_force_topk(
     """(query_id, neighbor_id, cos) exact top-k per query (self-match
     excluded). Query side is broadcast: each corpus partition scores its own
     rows — no shuffle until the (tiny) per-query top-k reduction."""
+    from .dedup_suite import _ensure_parallelism
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
     )
@@ -195,7 +197,9 @@ def embedding_near_dup_pairs(
     cosine verify at ``threshold``. The embedding-cosine member of the dedup
     suite."""
     dim = len(df.select(vec_col).first()[0])
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from .dedup_suite import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucketed = base.select(
         "id", "v",
         F.posexplode(

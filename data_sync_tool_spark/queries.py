@@ -485,7 +485,7 @@ def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_suite import minhash_signatures
 
     docs = read_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, n_hashes=4, shingle_k=5, hash_mode="md5")
+    sig = minhash_signatures(docs, n_hashes=4, shingle_k=5, hash_mode="md5", with_shingles=False)
     return sig.select(
         F.col("id").alias("doc_id"), *[F.col("sig")[i].alias(f"mh_{i}") for i in range(4)]
     ).orderBy("doc_id")
