@@ -125,10 +125,20 @@ def write_stream_chunks(
         .parquet(tmp)
     )
     paths = []
+    base_mtime = os.stat(tmp).st_mtime
     for i in range((hi - lo + step - 1) // step):
         src = f"{tmp}/_chunk={i}"
         dst = f"{out_dir}/chunk-{i:05d}"
         if os.path.isdir(src):
             os.rename(src, dst)
+            # strictly increasing mtimes: the streaming file source orders
+            # files by modification time, and a single partitioned write
+            # stamps every chunk within the same second — without this, chunk
+            # ARRIVAL order is unstable and watermark lateness becomes
+            # nondeterministic. A real binlog is written in lsn order; this
+            # restores that property.
+            for j, fn in enumerate(sorted(os.listdir(dst))):
+                os.utime(os.path.join(dst, fn), (base_mtime + i * 1000 + j,) * 2)
+            os.utime(dst, (base_mtime + i * 1000,) * 2)
             paths.append(dst)
     return paths

@@ -125,8 +125,11 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v == 0:
             return None
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:  # vacuumed (expired) version
+            return None
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> int:
         """Atomic commit: write temp file, rename to the next version.
@@ -224,6 +227,11 @@ class LakeTable:
         on the fly. Tombstones filtered unless ``include_deleted``."""
         m = self._load_manifest(version)
         if m is None:
+            if version is not None and version > 0:
+                raise ValueError(
+                    f"version {version} is expired (vacuumed) or unknown; "
+                    f"current version is {self.current_version()}"
+                )
             return self.spark.createDataFrame([], T.StructType([]))
         schema = self._schema_of(m)
         base_files = self._files(m, buckets, "base")
@@ -550,6 +558,53 @@ class LakeTable:
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     # ------------------------------------------------------------- utilities
+    def delta_ratio(self) -> float:
+        """delta-file fraction of the current snapshot — the MoR compaction
+        trigger signal (0.0 = fully compacted)."""
+        m = self._load_manifest()
+        if m is None:
+            return 0.0
+        n_base = sum(len(e.get("base", [])) for e in m["buckets"].values())
+        n_delta = sum(len(e.get("delta", [])) for e in m["buckets"].values())
+        total = n_base + n_delta
+        return n_delta / total if total else 0.0
+
+    def vacuum(self, keep_last: int = 1) -> dict[str, int]:
+        """Delete data files not referenced by the last ``keep_last``
+        manifests, and manifests older than that (Iceberg's
+        expire_snapshots + remove_orphan_files). Time travel remains
+        available for the kept versions. Never touches the live snapshot."""
+        current = self.current_version()
+        keep_versions = list(range(max(1, current - keep_last + 1), current + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            m = self._load_manifest(v)
+            if m:
+                referenced.update(self._files(m, None))
+        data_root = os.path.join(self.path, _DATA_DIR)
+        removed_files = 0
+        for snap in sorted(os.listdir(data_root)):
+            snap_dir = os.path.join(data_root, snap)
+            for root, _dirs, files in os.walk(snap_dir, topdown=False):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if p.endswith(".parquet") and p not in referenced:
+                        os.unlink(p)
+                        removed_files += 1
+                    elif not fn.endswith(".parquet") and fn.startswith(("_", ".")):
+                        os.unlink(p)  # _SUCCESS / .crc markers
+                if not os.listdir(root):
+                    os.rmdir(root)
+        removed_manifests = 0
+        for v in range(1, keep_versions[0]):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                # safe: committed_batch_ids are cumulative — every manifest
+                # carries the full set, so exactly-once dedupe survives
+                os.unlink(p)
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 

