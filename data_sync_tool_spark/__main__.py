@@ -1,0 +1,86 @@
+"""CLI entry point — the working version of the reference's WIP ``main.py``
+(``/root/reference/main.py:5`` imports a commented-out function).
+
+    python -m data_sync_tool_spark reconcile --config c.yaml --pipeline p --name full
+    python -m data_sync_tool_spark incremental --config c.yaml --pipeline p --name incr
+    python -m data_sync_tool_spark stream --source 'binlog/chunk-*' --table t \
+        --keys conv_id,turn_idx --checkpoint ckpt
+
+On a cluster: ``spark-submit --py-files data_sync_tool_spark.zip -m ...`` —
+``build_session`` defers to the submit-provided master.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_sync_tool_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rec = sub.add_parser("reconcile", help="hierarchical digest diff + repair merge")
+    rec.add_argument("--config", required=True)
+    rec.add_argument("--pipeline", required=True)
+    rec.add_argument("--name", required=True)
+    rec.add_argument("--dry-run", action="store_true", help="report counts, no merge")
+
+    inc = sub.add_parser("incremental", help="updated_at watermark sync")
+    inc.add_argument("--config", required=True)
+    inc.add_argument("--pipeline", required=True)
+    inc.add_argument("--name", required=True)
+
+    st = sub.add_parser("stream", help="streaming CDC replay into a lake table")
+    st.add_argument("--source", required=True, help="glob of binlog chunk dirs")
+    st.add_argument("--table", required=True, help="lake table path")
+    st.add_argument("--keys", required=True, help="comma-separated key columns")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    st.add_argument("--buckets", type=int, default=32)
+    st.add_argument("--compact-every", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from .session import build_session
+
+    spark = build_session(f"dst-{args.cmd}")
+
+    if args.cmd in ("reconcile", "incremental"):
+        from .config import Config
+        from .pipeline import Pipeline
+
+        pipe = Pipeline(spark, Config.load(args.config), args.pipeline)
+        if args.cmd == "reconcile":
+            out = pipe.run_reconciliation(args.name, apply=not args.dry_run)
+        else:
+            out = pipe.run_incremental(args.name)
+        print(json.dumps(out, default=str))
+        return 0
+
+    from .sources.lake import LakeTable
+    from .streaming.cdc import CdcPipeline
+
+    table = LakeTable(
+        spark, args.table, args.keys.split(","),
+        n_buckets=args.buckets, merge_mode=args.mode,
+    )
+    pipe = CdcPipeline(
+        spark, args.source, table, args.checkpoint,
+        name="cli", max_files_per_trigger=None,
+        compact_every=args.compact_every,
+    )
+    m = pipe.run_available()
+    print(json.dumps({
+        "events": m.total_events,
+        "seconds": round(m.total_seconds, 3),
+        "events_per_sec": round(m.events_per_sec, 1),
+        "batches": len(m.batches),
+        "table_version": table.current_version(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -452,6 +452,61 @@ def _dd_langid_sql() -> str:
 ORACLE_DOC_LANGID = _dd_langid_sql()
 
 
+# nested path extraction at the message edge (engine/transform.py:15 glom /
+# otel.py:95 — JSON payload access)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    ).orderBy("event_id")
+
+
+ORACLE_JSON = """
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int
+    FROM events ORDER BY event_id
+"""
+
+
+# per-conversation session stats over the converged transcript state
+def q_conv_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedupe import replay_final_state
+    from .sources.registry import changelog
+
+    final = replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"])
+    return (
+        final.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_turns"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic corpus-cleaning composite: language filter + quality floor
+    + exact-dedup (keep canonical) in one pipeline."""
+    from .operators.dedup_suite import exact_dedupe
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = exact_dedupe(docs)
+    t = F.col("text")
+    return (
+        kept.withColumn("lang_guess", TX.lang_id(t))
+        .withColumn("quality", F.round(TX.quality_score(t), 6))
+        .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
+        .select("doc_id", "lang_guess", "quality")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup suite + similarity search
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +703,60 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "neighbor_id")
 
 
+def _oracle_session_stats() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        ),
+        final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT conv_id, count(1) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+               max(turn_idx) AS max_turn
+        FROM final GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+def _oracle_training_filter() -> str:
+    langs = list(TX.LANG_MARKERS)
+    scores = ", ".join(f"({_dd_marker_score(lg)}) AS s_{lg}" for lg in langs)
+    best = "CASE "
+    for i, lg in enumerate(langs):
+        gt = " AND ".join(f"s_{lg} > s_{o}" for o in langs[:i])
+        ge = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1:])
+        cond = " AND ".join(x for x in [f"s_{lg} > 0", gt, ge] if x)
+        best += f"WHEN {cond} THEN '{lg}' "
+    best += "ELSE 'und' END"
+    quality = r"""round(
+        (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) * 1.0 / length(text)
+              ELSE 0 END)
+        * least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 20.0)
+    , 6)"""
+    return rf"""
+        WITH fp AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        kept AS (SELECT f.doc_id, f.text FROM fp f JOIN keep k
+                 ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        scored AS (
+          SELECT doc_id, text, {quality} AS quality, {best} AS lang_guess FROM (
+            SELECT doc_id, text, {scores}
+            FROM (SELECT doc_id, text, concat(' ', lower(text), ' ') AS p FROM kept)
+          )
+        )
+        SELECT doc_id, lang_guess, quality FROM scored
+        WHERE lang_guess = 'en' AND quality >= 0.3 ORDER BY doc_id
+    """
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
@@ -670,6 +779,9 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         ),
         "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
         "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
+        "json_extract_props": (q_json_extract, ORACLE_JSON),
+        "conv_session_stats": (q_conv_session_stats, _oracle_session_stats()),
+        "training_data_filter": (q_training_data_filter, _oracle_training_filter()),
         "dedup_exact_groups": (q_dedup_exact_groups, ORACLE_DEDUP_EXACT),
         "dedup_minhash_signature": (q_dedup_minhash_signature, ORACLE_DEDUP_MINHASH),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
