@@ -75,17 +75,23 @@ def main() -> None:
             name="warm", max_files_per_trigger=None, track_offsets=False,
         ).run_available()
 
-        table = LakeTable(
-            spark, f"{work}/table", ["conv_id", "turn_idx"],
-            n_buckets=64, checksum=False, merge_mode=mode, track_stats=False,
-        )
-        pipe = CdcPipeline(
-            spark, f"{work}/binlog/chunk-*", table, f"{work}/ckpt",
-            name="bench", max_files_per_trigger=None, track_offsets=False,
-        )
-        t0 = time.time()
-        pipe.run_available()
-        replay_sec = round(time.time() - t0, 3)
+        # best-of-2: this shared host shows multi-x run-to-run variance from
+        # hypervisor neighbors; each rep replays into a FRESH table+checkpoint
+        reps = int(os.environ.get("DST_BENCH_REPS", "2"))
+        replay_secs = []
+        for rep in range(reps):
+            table = LakeTable(
+                spark, f"{work}/table-{rep}", ["conv_id", "turn_idx"],
+                n_buckets=64, checksum=False, merge_mode=mode, track_stats=False,
+            )
+            pipe = CdcPipeline(
+                spark, f"{work}/binlog/chunk-*", table, f"{work}/ckpt-{rep}",
+                name=f"bench{rep}", max_files_per_trigger=None, track_offsets=False,
+            )
+            t0 = time.time()
+            pipe.run_available()
+            replay_secs.append(round(time.time() - t0, 3))
+        replay_sec = min(replay_secs)
         queries["cdc_stream_replay"] = replay_sec
         queries["compact"] = _t(table.compact)
         t0 = time.time()
@@ -107,6 +113,7 @@ def main() -> None:
                     "sf": sf_dir,
                     "bench_events": n_events,
                     "events_per_sec": events_per_sec,
+                    "replay_reps": replay_secs,
                     "final_table_rows": final_rows,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
                 }
@@ -132,6 +139,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "bench_events": n_events,
                 "events_per_sec": events_per_sec,
+                    "replay_reps": replay_secs,
                 "final_table_rows": final_rows,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
             }

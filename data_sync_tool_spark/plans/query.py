@@ -52,7 +52,10 @@ class Join:
     table: str
     on: str  # boolean Spark-SQL expression, e.g. "u.id = o.user_id"
     alias: str | None = None
-    type: str = "inner"  # inner | left | right | full (core/config.py:131-135)
+    # inner | left | right | full (reference surface, core/config.py:131-135)
+    # + left_semi | left_anti (Spark-native extensions; the reference's block
+    # diff A/D statuses are effectively anti-joins, SURVEY §2.3)
+    type: str = "inner"
 
 
 @dataclass
