@@ -151,6 +151,28 @@ class LakeTable:
         m = self._load_manifest()
         return set(m.get("committed_batch_ids", [])) if m else set()
 
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (Iceberg ``table.history`` /
+        ``DESCRIBE HISTORY`` analogue): one row per commit with op, batch_id,
+        rows_written, offsets, checksum."""
+        rows = [
+            {
+                "version": rec.get("version"),
+                "op": rec.get("op"),
+                "batch_id": rec.get("batch_id"),
+                "rows_written": rec.get("rows_written"),
+                "offset_min": rec.get("offset_min"),
+                "offset_max": rec.get("offset_max"),
+                "table_checksum": rec.get("table_checksum"),
+            }
+            for rec in self.lineage()
+        ]
+        schema = (
+            "version long, op string, batch_id string, rows_written long, "
+            "offset_min long, offset_max long, table_checksum long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def lineage(self) -> list[dict[str, Any]]:
         """Full lineage log: one record per commit, oldest first."""
         out = []
