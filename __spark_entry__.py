@@ -8,8 +8,12 @@ SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # repo-relative import safety
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
