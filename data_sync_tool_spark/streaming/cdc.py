@@ -81,6 +81,7 @@ class CdcPipeline:
         name: str = "cdc",
         schema: T.StructType = CHANGE_STREAM_SCHEMA,
         max_files_per_trigger: int | None = 1,
+        source_format: str = "parquet",  # parquet | json | csv binlog segments
         merge_strategy: str = "upsert",
         allow_delete: bool = True,
         track_offsets: bool = True,
@@ -94,6 +95,7 @@ class CdcPipeline:
         self.name = name
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
+        self.source_format = source_format
         self.merge_strategy = merge_strategy
         self.allow_delete = allow_delete
         self.track_offsets = track_offsets
@@ -110,6 +112,12 @@ class CdcPipeline:
         r = self.spark.readStream.schema(self.schema)
         if self.max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        if self.source_format == "json":  # JSON-lines binlog segments
+            return r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(
+                self.source_glob
+            )
+        if self.source_format == "csv":
+            return r.option("header", "true").csv(self.source_glob)
         return r.parquet(self.source_glob)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
