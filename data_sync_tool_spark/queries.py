@@ -452,6 +452,33 @@ def _dd_langid_sql() -> str:
 ORACLE_DOC_LANGID = _dd_langid_sql()
 
 
+# enrichment as a query: broadcast key-value lookup (engine/enrich.py redis
+# semantics — the kv store image here is derived from nation)
+def q_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import EnrichmentConfig
+    from .operators.enrich import enrich_with_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    kv = read_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("key"),
+        F.col("n_name").alias("value"),
+    )
+    conf = EnrichmentConfig(
+        name="nation_name", type="redis",
+        key_template="nation:{{ c_nationkey }}", output_field="nation_name",
+    )
+    return enrich_with_table(cust, conf, kv).select(
+        "c_custkey", "c_mktsegment", "nation_name"
+    ).orderBy("c_custkey")
+
+
+ORACLE_ENRICH = """
+    SELECT c.c_custkey, c.c_mktsegment, n.n_name AS nation_name
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY c.c_custkey
+"""
+
+
 # nested path extraction at the message edge (engine/transform.py:15 glom /
 # otel.py:95 — JSON payload access)
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +806,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         ),
         "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
         "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
+        "enrich_customers": (q_enrich_customers, ORACLE_ENRICH),
         "json_extract_props": (q_json_extract, ORACLE_JSON),
         "conv_session_stats": (q_conv_session_stats, _oracle_session_stats()),
         "training_data_filter": (q_training_data_filter, _oracle_training_filter()),
