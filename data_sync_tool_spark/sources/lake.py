@@ -548,7 +548,12 @@ class LakeTable:
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     # ------------------------------------------------------------ compaction
-    def compact(self, buckets: list[int] | None = None, batch_id: str | None = None) -> MergeResult:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        batch_id: str | None = None,
+        min_delta_files: int = 1,
+    ) -> MergeResult:
         """Fold delta files into base for the given (default: all
         delta-bearing) buckets: read base∪delta, LWW-resolve, rewrite as base.
         The MoR maintenance op — run on a schedule or when delta/base ratio
@@ -559,7 +564,8 @@ class LakeTable:
             return MergeResult(0, batch_id or "compact", False)
         dirty = [
             int(b) for b, e in m["buckets"].items()
-            if e.get("delta") and (buckets is None or int(b) in set(buckets))
+            if len(e.get("delta", [])) >= min_delta_files
+            and (buckets is None or int(b) in set(buckets))
         ]
         if not dirty:
             return MergeResult(m["version"], batch_id or "compact", False)
