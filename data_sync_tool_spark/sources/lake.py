@@ -109,6 +109,11 @@ class LakeTable:
         self.track_stats = track_stats
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        # the manifest is authoritative for the bucket count (rescale
+        # persists it); a constructor mismatch silently follows the manifest
+        m = self._load_manifest()
+        if m is not None and m.get("n_buckets"):
+            self.n_buckets = int(m["n_buckets"])
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, version: int) -> str:
@@ -325,6 +330,7 @@ class LakeTable:
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
+            "n_buckets": self.n_buckets,
             "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
             "lineage": lineage,
         }
@@ -596,6 +602,58 @@ class LakeTable:
         n_delta = sum(len(e.get("delta", [])) for e in m["buckets"].values())
         total = n_base + n_delta
         return n_delta / total if total else 0.0
+
+    def expire_tombstones(self, older_than_lsn: int, batch_id: str | None = None) -> MergeResult:
+        """Drop delete tombstones with ``_lsn < older_than_lsn`` (full
+        compaction included). Safe once the source guarantees no change older
+        than that LSN can still arrive — the retention contract every CDC
+        system needs (Debezium's tombstone window, Cassandra's gc_grace)."""
+        m = self._load_manifest()
+        if m is None:
+            return MergeResult(0, batch_id or "gc", False)
+        schema = self._schema_of(m)
+        df = self._read_files(self._files(m, None), schema)
+        resolved = self._resolve_lww(df) if any(
+            e.get("delta") for e in m["buckets"].values()
+        ) else df
+        kept = resolved.filter(
+            ~(
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+                & (F.col(LSN_COL) < F.lit(older_than_lsn))
+            )
+        ).withColumn(BUCKET_COL, self._bucket_col())
+        new = self._write_snapshot(kept)
+        buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
+        bid = batch_id or f"gc-v{m['version']}"
+        rows = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {"batch_id": bid, "op": "expire_tombstones", "rows_written": rows,
+                   "older_than_lsn": older_than_lsn}
+        v = self._commit(buckets, schema, bid, lineage)
+        return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
+
+    def rescale(self, n_buckets: int, batch_id: str | None = None) -> MergeResult:
+        """Rewrite the table under a new bucket count (Iceberg
+        REPLACE PARTITION FIELD + rewrite). One full read→write; subsequent
+        merges prune against the new layout. The table object's
+        ``n_buckets`` is updated in place and persisted in the manifest."""
+        m = self._load_manifest()
+        if m is None:
+            self.n_buckets = n_buckets
+            return MergeResult(0, batch_id or "rescale", False)
+        schema = self._schema_of(m)
+        df = self._read_files(self._files(m, None), schema)
+        if any(e.get("delta") for e in m["buckets"].values()):
+            df = self._resolve_lww(df)
+        self.n_buckets = n_buckets
+        rebucketed = df.withColumn(BUCKET_COL, self._bucket_col())
+        new = self._write_snapshot(rebucketed)
+        buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
+        bid = batch_id or f"rescale-{n_buckets}"
+        rows = self._count_rows([f for fs in new.values() for f in fs])
+        lineage = {"batch_id": bid, "op": "rescale", "rows_written": rows,
+                   "n_buckets": n_buckets}
+        v = self._commit(buckets, schema, bid, lineage)
+        return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     def vacuum(self, keep_last: int = 1) -> dict[str, int]:
         """Delete data files not referenced by the last ``keep_last``

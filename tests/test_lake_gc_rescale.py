@@ -1,0 +1,55 @@
+"""Tombstone expiry and bucket-count rescale maintenance ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.datagen import changelog_stream
+from data_sync_tool_spark.operators.dedupe import replay_final_state
+from data_sync_tool_spark.sources.lake import LakeTable
+
+
+@pytest.fixture(scope="module")
+def ch(spark):
+    return changelog_stream(spark, 600, n_convs=15, max_turns=8, num_partitions=4).cache()
+
+
+def test_expire_tombstones(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                  checksum=False)
+    t.merge_into(ch, batch_id="all")
+    n_tomb = t.read(include_deleted=True).filter("_deleted").count()
+    assert n_tomb > 0
+    live_before = t.read().count()
+    # expire tombstones older than half the stream
+    t.expire_tombstones(older_than_lsn=300)
+    remaining = t.read(include_deleted=True).filter("_deleted")
+    assert remaining.filter(F.col("_lsn") < 300).count() == 0
+    assert remaining.count() < n_tomb
+    assert t.read().count() == live_before  # live rows untouched
+    # a late OLDER insert for a GC'd key now resurrects — the documented
+    # retention contract: only expire past the source's replay horizon
+    assert t.lineage()[-1]["op"] == "expire_tombstones"
+
+
+def test_rescale_preserves_state_and_pruning(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                  checksum=True)
+    t.merge_into(ch.filter(F.col("lsn") < 400), batch_id="a")
+    chk = t.lineage()[-1]["table_checksum"]
+    t.rescale(16)
+    assert t.n_buckets == 16
+    assert t.lineage()[-1]["table_checksum"] == chk  # same live data
+    m = t._load_manifest()
+    assert len(m["buckets"]) > 4  # physically re-bucketed
+    # a NEW handle picks the bucket count up from the manifest, and merges
+    # keep converging after the rescale
+    t2 = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4,
+                   checksum=False)
+    assert t2.n_buckets == 16
+    t2.merge_into(ch.filter(F.col("lsn") >= 400), batch_id="b")
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    got = t2.read().drop("_lsn")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
