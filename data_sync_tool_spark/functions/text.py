@@ -82,7 +82,12 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Array of character k-shingles over the normalized text (positions
-    1..len-k+1). Short texts yield a single shingle of the whole text."""
+    1..len-k+1). Short texts yield a single shingle of the whole text.
+
+    NOTE: building per-row shingle ARRAYS is ~25x slower than the exploded
+    representation in Spark 4 — every hot-path consumer should use
+    ``operators.dedup_suite.exploded_shingles`` instead; this column form is
+    for small-data / interactive use."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k - 1)))
