@@ -264,6 +264,29 @@ def q_diff_timegroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_diff_timegroups(src, snk, _RECON_CFG, interval=1000).orderBy("bucket")
 
 
+# §2.5 window frames — running total per customer (cumulative frame)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ORACLE_RUNNING_TOTAL = """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
 # §2.6 scalar functions — md5/substr/floor/epoch/lpad/concat/date_format
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -730,6 +753,14 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "neighbor_id")
 
 
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, q, k=5, n_bits=3, n_tables=6).orderBy("query_id", "neighbor_id")
+
+
 def _oracle_session_stats() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -794,6 +825,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "case_priority": (q_case_priority, ORACLE_CASE),
         "top_orders": (q_top_orders, ORACLE_TOP_ORDERS),
         "latest_order_per_customer": (q_latest_order_per_customer, ORACLE_LATEST_ORDER),
+        "running_total_per_customer": (q_running_total, ORACLE_RUNNING_TOTAL),
         "scalar_functions": (q_scalar_functions, ORACLE_SCALARS),
         "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
@@ -818,4 +850,5 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_brute_topk": (q_emb_brute_topk, ORACLE_EMB_TOPK),
         "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
         "emb_ivf_topk": (q_emb_ivf_topk, None),
+        "emb_lsh_topk": (q_emb_lsh_topk, None),
     }
