@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, l2_normalize
+from ..functions.vectors import cosine
 
 
 def brute_force_topk(

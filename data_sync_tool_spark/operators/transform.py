@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import VAR_RE, DynamicValue, FieldConfig
+from ..config import VAR_RE, FieldConfig
 
 _DTYPE_MAP = {
     "int": "long",
