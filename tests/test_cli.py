@@ -1,0 +1,58 @@
+"""CLI entry point (__main__) driven as a subprocess — the spark-submit
+surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+YAML = """
+datastores:
+  - {{name: files, type: parquet, path: /root/testdata/sf0.001}}
+  - {{name: wh, type: lake, path: {lake}}}
+pipelines:
+  - name: sync
+    source: {{datastore: files, table: {{table: orders}}}}
+    sink:
+      datastore: wh
+      table: {{table: orders_mirror}}
+      meta_columns: {{unique_columns: [o_orderkey]}}
+    merge_strategy: {{strategy: upsert, allow_delete: true}}
+    reconciliation:
+      - {{name: full, strategy: md5sum_hash, partition_column: o_orderkey,
+         partition_column_type: int, initial_partition_interval: 100000,
+         max_block_size: 500}}
+      - {{name: incr, strategy: updated_at, partition_column: o_orderkey,
+         partition_column_type: int}}
+"""
+
+
+def _run(*args: str) -> dict:
+    env = os.environ | {"PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"}
+    out = subprocess.run(
+        [sys.executable, "-m", "data_sync_tool_spark", *args],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_reconcile_and_incremental(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(YAML.format(lake=tmp_path / "lake"))
+    r1 = _run("reconcile", "--config", str(cfg), "--pipeline", "sync", "--name", "full")
+    assert r1["counts"]["A"] == 1500 and r1["rows_written"] == 1500
+    r2 = _run("reconcile", "--config", str(cfg), "--pipeline", "sync", "--name", "full",
+              "--dry-run")
+    assert r2["counts"] == {"N": 1500, "M": 0, "A": 0, "D": 0}
+    r3 = _run("incremental", "--config", str(cfg), "--pipeline", "sync", "--name", "incr")
+    assert r3["rows_written"] == 1500  # first incremental = full load (no watermark yet)
+    r4 = _run("incremental", "--config", str(cfg), "--pipeline", "sync", "--name", "incr")
+    assert r4["rows_written"] == 0  # watermark persisted in lineage; nothing new
