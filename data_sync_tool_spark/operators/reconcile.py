@@ -45,6 +45,7 @@ from typing import Literal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashes import (
     blockhash_ordered,
@@ -77,16 +78,30 @@ class ReconcileConfig:
 
     def intervals(self) -> list[int]:
         """The drilldown ladder (``prepare_data_blocks``,
-        ``engine/reconcile.py:425-431``)."""
-        interval = self.initial_partition_interval or (
+        ``engine/reconcile.py:425-431``) — with one correction: every interval
+        EXACTLY divides its parent, so child buckets nest inside parent
+        buckets (``floor(x/child) // (parent//child) == floor(x/parent)``).
+
+        The reference's repeated floor-division ladder violates this (e.g.
+        1y-seconds ÷ 10^5 leaves 3153‖315 misaligned), which silently maps
+        boundary children to the wrong parent during drilldown. We keep the
+        reference's ladder LENGTH and its finest interval ``s`` (repeated
+        floor division == ``initial // factor^k``), then rebuild the ladder
+        geometrically from ``s`` upward: ``[s·f^(L-1), …, s·f, s]``. The top
+        interval shrinks by <1 factor step; coverage of [lo, hi) is unchanged
+        because level-1 buckets tile the whole range for any interval.
+        """
+        initial = self.initial_partition_interval or (
             365 * 24 * 60 * 60 if self.partition_column_type == "datetime" else 200_000
         )
-        out = []
+        f = self.interval_reduction_factor
+        depth = 1
+        interval = initial
         while interval > self.max_block_size:
-            out.append(interval)
-            interval = interval // self.interval_reduction_factor
-        out.append(max(interval, 1))  # guard: integer division can reach 0
-        return out
+            depth += 1
+            interval = interval // f
+        s = max(interval, 1)  # guard: integer division can reach 0
+        return [s * f ** (depth - 1 - i) for i in range(depth)]
 
 
 @dataclass
@@ -106,9 +121,25 @@ def _partition_value(cfg: ReconcileConfig) -> Column:
     return epoch_seconds(c) if cfg.partition_column_type == "datetime" else c.cast("long")
 
 
-def _row_hash(cfg: ReconcileConfig) -> Column:
+def _row_hash(cfg: ReconcileConfig, df: DataFrame) -> Column:
     if cfg.hash_column:
-        return F.col(cfg.hash_column)
+        h = F.col(cfg.hash_column)
+        if cfg.strategy != MD5_SUM_HASH:
+            return h  # order-dependent strategy digests the value as a string
+        # md5sum_hash sums rowhashes, so the precomputed column must be
+        # numeric. A hex md5 STRING would cast to NULL under Spark's non-ANSI
+        # cast — sum(NULL) on both sides reads as "every block matches", the
+        # silent-wrong failure mode. Convert hex explicitly (first-8-hex
+        # prefix, exactly rowhash_int32's encoding) or fail loudly.
+        dtype = df.schema[cfg.hash_column].dataType
+        if isinstance(dtype, T.StringType):
+            return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        if isinstance(dtype, T.NumericType):
+            return h
+        raise ValueError(
+            f"hash_column {cfg.hash_column!r} must be numeric or a hex md5 "
+            f"string for strategy {MD5_SUM_HASH}; got {dtype.simpleString()}"
+        )
     cols = [F.col(c) for c in cfg.fields]
     return rowhash_int32(*cols) if cfg.strategy == MD5_SUM_HASH else rowhash_md5(*cols)
 
@@ -116,8 +147,8 @@ def _row_hash(cfg: ReconcileConfig) -> Column:
 def _block_hash(cfg: ReconcileConfig) -> Column:
     rh = F.col("_rh")
     if cfg.strategy == MD5_SUM_HASH:
-        # precomputed hash columns may be hex strings; sum needs numeric
-        return blockhash_sum(rh.cast("decimal(38,0)") if cfg.hash_column else rh).cast("string")
+        # decimal(38,0) accumulator: overflow-proof for any block size
+        return blockhash_sum(rh.cast("decimal(38,0)")).cast("string")
     if not cfg.order_column:
         raise ValueError("hash_md5_hash requires order_column")
     return blockhash_ordered(rh, F.col("_oc"))
@@ -162,7 +193,7 @@ def block_digest(df: DataFrame, cfg: ReconcileConfig, interval: int,
     x = _partition_value(cfg)
     pre = df.filter((x >= F.lit(lo)) & (x < F.lit(hi))).select(
         F.floor(x / F.lit(interval)).cast("long").alias("bucket"),
-        _row_hash(cfg).alias("_rh"),
+        _row_hash(cfg, df).alias("_rh"),
         *( [F.col(cfg.order_column).alias("_oc")] if cfg.strategy == HASH_MD5_HASH else [] ),
     )
     return pre.groupBy("bucket").agg(
@@ -189,22 +220,48 @@ def _status_join(src: DataFrame, snk: DataFrame) -> DataFrame:
     return j.select("bucket", num_rows.alias("num_rows"), status.alias("status"))
 
 
+@dataclass
+class BlockPlan:
+    """build_blocks output. Iterable as ``(blocks, statuses)`` for
+    backward-compatible tuple unpacking. With ``collect_settled=False`` the
+    (typically dominant) N blocks never reach the driver — they are folded
+    into ``settled_n_blocks``/``settled_n_rows`` by a distributed aggregate."""
+
+    blocks: list[Block]
+    statuses: list[str]
+    settled_n_blocks: int = 0
+    settled_n_rows: int = 0
+
+    def __iter__(self):
+        return iter((self.blocks, self.statuses))
+
+
 def build_blocks(
     source_df: DataFrame,
     sink_df: DataFrame,
     cfg: ReconcileConfig,
     max_level: int | None = None,
-) -> tuple[list[Block], list[str]]:
+    collect_settled: bool = True,
+) -> BlockPlan:
     """The full drilldown: per ladder level, digest both sides ONCE (filtered
     to mismatched parents via broadcast semi-join), emit settled blocks,
     descend into oversized M/A blocks. Returns merge_adjacent-coalesced
     blocks+statuses ordered by range start, exactly like ``build_blocks`` +
-    ``merge_adjacent`` in the reference."""
+    ``merge_adjacent`` in the reference.
+
+    ``collect_settled=False`` is the 100-TB shape: matched (N) blocks are
+    counted by a distributed aggregate instead of ``collect()``-ing one driver
+    row per bucket — at a fine ladder over a mostly-in-sync table the N rows
+    are ~the whole table's bucket count, while M/A/D + drill rows stay
+    diff-sized. The repair plan only needs M/A/D blocks anyway."""
     intervals = cfg.intervals()
     max_level = len(intervals) if max_level is None else min(max_level, len(intervals))
     lo, hi = get_data_range(source_df, sink_df, cfg)
+    spark = source_df.sparkSession
 
     emitted: list[Block] = []
+    n_blocks_agg = 0
+    n_rows_agg = 0
     drill_ids: list[int] | None = None  # parent bucket ids to descend into
 
     for level0, interval in enumerate(intervals[:max_level]):
@@ -212,20 +269,35 @@ def build_blocks(
         src_d = block_digest(source_df, cfg, interval, lo, hi)
         snk_d = block_digest(sink_df, cfg, interval, lo, hi)
         if drill_ids is not None:
+            # keep only buckets whose PARENT mismatched. Child buckets nest
+            # exactly (intervals() guarantees child | parent), and the
+            # mismatch set rides a broadcast semi-join — a literal isin()
+            # list would bloat the plan when many blocks mismatch.
             ratio = intervals[level0 - 1] // interval
-            # keep only buckets whose PARENT mismatched — the mismatch set is
-            # diff-sized (small), so an isin/broadcast filter replaces the
-            # reference's per-block recursive re-query
-            parent = F.floor(F.col("bucket") / F.lit(ratio))
-            src_d = src_d.filter(parent.isin(drill_ids))
-            snk_d = snk_d.filter(parent.isin(drill_ids))
+            parents = F.broadcast(
+                spark.createDataFrame([(int(i),) for i in drill_ids], "pid long")
+            )
+            cond = F.floor(F.col("bucket") / F.lit(ratio)) == F.col("pid")
+            src_d = src_d.join(parents, on=cond, how="left_semi")
+            snk_d = snk_d.join(parents, on=cond, how="left_semi")
         is_last = level == max_level
         needs_drill = (
             F.col("status").isin("M", "A")
             & (F.col("num_rows") > F.lit(cfg.max_block_size))
             & F.lit(not is_last)
         )
-        rows = _status_join(src_d, snk_d).withColumn("drill", needs_drill).collect()
+        status = _status_join(src_d, snk_d).withColumn("drill", needs_drill)
+        if collect_settled:
+            rows = status.collect()
+        else:
+            status = status.persist()
+            rows = status.filter((F.col("status") != "N") | F.col("drill")).collect()
+            n_agg = status.filter(F.col("status") == "N").agg(
+                F.count(F.lit(1)).alias("nb"), F.coalesce(F.sum("num_rows"), F.lit(0)).alias("nr")
+            ).first()
+            status.unpersist()
+            n_blocks_agg += n_agg["nb"]
+            n_rows_agg += int(n_agg["nr"])
         emitted.extend(
             Block(
                 start=max(r["bucket"] * interval, lo),
@@ -242,7 +314,8 @@ def build_blocks(
             break
 
     emitted.sort(key=lambda b: (b.start, b.end, b.level))
-    return merge_adjacent(emitted, cfg.max_block_size)
+    blocks, statuses = merge_adjacent(emitted, cfg.max_block_size)
+    return BlockPlan(blocks, statuses, n_blocks_agg, n_rows_agg)
 
 
 def merge_adjacent(blocks: list[Block], max_block_size: int) -> tuple[list[Block], list[str]]:
@@ -256,6 +329,10 @@ def merge_adjacent(blocks: list[Block], max_block_size: int) -> tuple[list[Block
             b.status in ("M", "A")
             and out
             and out[-1].status == b.status
+            # true adjacency only: empty buckets and (in collect_settled=False
+            # mode) distributed-aggregated N blocks leave gaps in the list —
+            # merging across a gap would widen repair ranges over settled rows
+            and out[-1].end == b.start
             and out[-1].num_rows + b.num_rows <= max_block_size
         ):
             prev = out[-1]
@@ -266,12 +343,16 @@ def merge_adjacent(blocks: list[Block], max_block_size: int) -> tuple[list[Block
     return out, [b.status for b in out]
 
 
-def status_counts(blocks: list[Block]) -> dict[str, int]:
+def status_counts(blocks: list[Block] | BlockPlan) -> dict[str, int]:
     """Total row counts per status — the reference's golden-count assertion
-    shape (``test_prepare_data_blocks.py:438-589``)."""
+    shape (``test_prepare_data_blocks.py:438-589``). Accepts a ``BlockPlan``
+    (adds the distributed-aggregated N totals) or a plain block list."""
     out: dict[str, int] = {"N": 0, "M": 0, "A": 0, "D": 0}
-    for b in blocks:
+    plan_blocks = blocks.blocks if isinstance(blocks, BlockPlan) else blocks
+    for b in plan_blocks:
         out[b.status] += b.num_rows
+    if isinstance(blocks, BlockPlan):
+        out["N"] += blocks.settled_n_rows
     return out
 
 
@@ -333,8 +414,15 @@ def plan_repair(
 
     upserts = src_rows.withColumn("op", F.lit("upsert"))
     if allow_delete:
+        # anti-join against source keys WITHIN the divergent ranges only —
+        # never a full source-key scan. Safe: a sink row in a divergent range
+        # whose key lives elsewhere in source implies the key's partition
+        # value moved, which itself makes the new location divergent (its
+        # block has a source row the sink lacks), so the key is in this
+        # restricted set and the sink row is updated by the upsert path.
         gone = snk_rows.join(
-            source_df.select(*unique_keys), on=unique_keys, how="left_anti"
+            in_ranges(source_df, am + d).select(*unique_keys),
+            on=unique_keys, how="left_anti",
         ).withColumn("op", F.lit("delete"))
         changes = upserts.unionByName(gone, allowMissingColumns=True)
     else:

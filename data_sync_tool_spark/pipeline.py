@@ -147,8 +147,14 @@ class Pipeline:
             start=start,
             end=end,
         )
-        blocks, statuses = build_blocks(src, snk, cfg)
-        out: dict[str, Any] = {"counts": status_counts(blocks), "n_blocks": len(blocks)}
+        # collect_settled=False: matched blocks stay a distributed aggregate —
+        # the driver only ever holds the diff-sized M/A/D block list
+        plan = build_blocks(src, snk, cfg, collect_settled=False)
+        blocks = plan.blocks
+        out: dict[str, Any] = {
+            "counts": status_counts(plan),
+            "n_blocks": len(blocks) + plan.settled_n_blocks,
+        }
         if apply:
             next_lsn = lsn if lsn is not None else sink_lake.current_version() + 1
             changes = plan_repair(

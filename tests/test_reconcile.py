@@ -166,6 +166,76 @@ def test_merge_adjacent_reference_semantics():
     assert statuses == ["M", "M", "A", "N", "N"]
 
 
+def test_interval_ladder_always_nests():
+    """Every ladder interval exactly divides its parent — the invariant the
+    drilldown's floor(bucket/ratio) parent mapping depends on. The reference's
+    repeated-floor-division ladder violates it (e.g. 1y seconds at factor 10
+    leaves 3153‖315), silently mapping boundary children to the wrong parent."""
+    cases = [
+        dict(initial_partition_interval=365 * 24 * 3600, max_block_size=1000,
+             interval_reduction_factor=10),
+        dict(initial_partition_interval=1000, max_block_size=10,
+             interval_reduction_factor=7),
+        dict(initial_partition_interval=999_983, max_block_size=3,
+             interval_reduction_factor=13),
+    ]
+    for kw in cases:
+        ladder = ReconcileConfig(partition_column="id", **kw).intervals()
+        assert ladder == sorted(ladder, reverse=True)
+        for parent, child in zip(ladder, ladder[1:]):
+            assert parent % child == 0, (kw, ladder)
+
+
+def test_boundary_mismatch_not_lost(spark):
+    """One mismatched row adjacent to a coarse-bucket boundary must surface as
+    exactly one M row at the leaf level, for ladders whose raw floor-division
+    form misaligns (regression for the parent-mapping drop bug)."""
+    src = spark.range(0, 5000).select(
+        F.col("id").cast("int").alias("id"), F.col("id").cast("string").alias("v")
+    )
+    for bad_id in (685, 686, 999, 3429):  # around old misaligned boundaries
+        snk = src.withColumn(
+            "v", F.when(F.col("id") == bad_id, F.lit("CORRUPT")).otherwise(F.col("v"))
+        )
+        cfg = ReconcileConfig(
+            partition_column="id", fields=["id", "v"],
+            initial_partition_interval=1000, interval_reduction_factor=7,
+            max_block_size=10,
+        )
+        c = status_counts(build_blocks(src, snk, cfg))
+        assert c["M"] >= 1 and c["M"] <= cfg.intervals()[-1], (bad_id, c)
+        assert c["A"] == 0 and c["D"] == 0
+        assert c["N"] + c["M"] == 5000
+
+
+def test_collect_settled_false_matches_golden(spark, source, sink):
+    """Distributed-N mode: same golden totals, but N rows never reach the
+    driver as per-bucket rows — plan.blocks holds only M/A/D."""
+    plan = build_blocks(source, sink, _cfg(), collect_settled=False)
+    assert status_counts(plan) == GOLDEN
+    assert all(b.status != "N" for b in plan.blocks)
+    assert plan.settled_n_rows == GOLDEN["N"]
+    # repair plan from the N-free block list is identical in coverage:
+    # M/A/D blocks are what plan_repair consumes
+    assert status_counts(plan.blocks)["M"] == GOLDEN["M"]
+
+
+def test_hash_column_hex_string(spark, source, sink):
+    """A hex-md5 hash_column must NOT null out under the sum strategy
+    (Spark's non-ANSI cast of hex → NULL would report every block 'M'...
+    or worse, all-N when both sides go NULL)."""
+    s = source.withColumn("h", F.md5(F.concat_ws("\x1f", "id", "name", "value")))
+    k = sink.withColumn("h", F.md5(F.concat_ws("\x1f", "id", "name", "value")))
+    blocks, _ = build_blocks(s, k, _cfg(hash_column="h", fields=[]))
+    assert status_counts(blocks) == GOLDEN
+
+
+def test_hash_column_bad_type_raises(spark, source, sink):
+    s = source.withColumn("h", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="hash_column"):
+        build_blocks(s, s, _cfg(hash_column="h", fields=[]))
+
+
 def test_repair_converges_to_all_N(spark, source, sink, tmp_path):
     """The load phase the reference never implemented: plan_repair → MERGE →
     re-reconcile shows zero M/A/D."""
