@@ -13,9 +13,10 @@ math genuinely wants numpy, and then it's Arrow-batched):
                    batches), banded into 4×16-bit chunks — Hamming-≤k
                    candidates via chunk-equality buckets (pigeonhole), then
                    exact Hamming verify.
-- ngram_jaccard  : exact Jaccard over shingle sets for candidate pairs from
-                   cheap blocking (length bucket), for when recall must be 1.0
-                   within a block.
+- ngram_jaccard  : exact Jaccard over shingle sets with geometric size-band
+                   blocking — recall 1.0 at any threshold (qualifying pairs
+                   always co-block), at the cost of large blocks on
+                   size-homogeneous corpora.
 - embedding near-dup: see ``similarity.py`` (cosine over LSH buckets).
 
 Determinism: every hash seed derives from literal ints; no RNG state.
@@ -64,6 +65,12 @@ def exact_dedupe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.join(keep, id_col, "left_semi")
 
 
+def _jaccard(a: str, b: str) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 # ----------------------------------------------------------------- minhash
 def _seeded_hash(seed: int, s: Column, hash_mode: str) -> Column:
     """``hash_mode``: ``xxhash64`` (fast JVM default) or ``md5`` (int32 md5
@@ -81,9 +88,8 @@ def exploded_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    with_len: bool = False,
 ) -> DataFrame:
-    """(id, s[, _len]) — one row per character k-shingle position.
+    """(id, s) — one row per character k-shingle position.
 
     Deliberately NOT an array<string> column: building per-doc shingle arrays
     with ``transform(sequence(...), i -> substring(...))`` measured ~25x
@@ -94,9 +100,8 @@ def exploded_shingles(
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), norm.alias("_nt"))
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_nt") - F.lit(k - 1)))
-    extra = [F.length("_nt").alias("_len")] if with_len else []
-    return base.select("id", *extra, "_nt", F.explode(idx).alias("_i")).select(
-        "id", *(["_len"] if with_len else []), F.expr(f"substring(_nt, _i, {k})").alias("s")
+    return base.select("id", "_nt", F.explode(idx).alias("_i")).select(
+        "id", F.expr(f"substring(_nt, _i, {k})").alias("s")
     )
 
 
@@ -158,9 +163,12 @@ def minhash_lsh_pairs(
     # sh is the doc's distinct shingle set as int64 hashes: the exact-Jaccard
     # verify compares longs, not strings (~10x cheaper intersects; 64-bit
     # collisions are negligible at any realistic shingle-set size)
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    # the band self-join carries ONLY (id, set-size, band, band-hash) — the
+    # full shingle arrays must not ride the ×bands explode nor both shuffle
+    # sides; they are re-attached once per side AFTER candidate dedup
     banded = sig.select(
-        "id", "sh",
+        "id", F.size("sh").alias("n"),
         F.posexplode(
             F.array(
                 *[
@@ -171,29 +179,27 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
-    left = banded.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), "band", "bh")
-    right = banded.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), "band", "bh")
+    left = banded.select(F.col("id").alias("a"), F.col("n").alias("na"), "band", "bh")
+    right = banded.select(F.col("id").alias("b"), F.col("n").alias("nb"), "band", "bh")
     cands = (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
         # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
         # whose set sizes disagree too much cannot clear the threshold —
-        # pruned BEFORE the expensive intersect
-        .filter(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
-        .select("a", "b", "sh_a", "sh_b")
+        # pruned BEFORE pair dedup and the expensive intersect
+        .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cands.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+    sets = sig.select("id", "sh")
+    pairs = (
+        cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
     )
+    out = pairs.withColumn("jaccard", F.round(_jaccard("sh_a", "sh_b"), 6)).filter(
+        F.col("jaccard") >= threshold
+    ).select("a", "b", "jaccard")
+    return out
 
 
 # ----------------------------------------------------------------- simhash
@@ -266,35 +272,49 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    length_band: int = 32,
 ) -> DataFrame:
-    """Exact Jaccard within length-bucket blocks: two docs with Jaccard ≥ t
-    have similar lengths, so blocking on floor(len/band) (+neighbor) keeps
-    recall while bounding the join. Returns (a, b, jaccard)."""
-    ex = exploded_shingles(df, text_col, id_col, shingle_k, with_len=True)
-    base = ex.groupBy("id").agg(
-        F.collect_set(F.xxhash64("s")).alias("sh"),
-        F.floor(F.max("_len") / length_band).alias("lb"),
+    """Exact Jaccard with GEOMETRIC size-band blocking — recall 1.0 at any
+    threshold by construction. Returns (a, b, jaccard) with jaccard ≥ t.
+
+    Why geometric: Jaccard ≥ t bounds the shingle-set size *ratio*
+    (min(|A|,|B|)/max(|A|,|B|) ≥ J), not the absolute size difference, so
+    fixed-width length bands lose long near-duplicates (10,000 vs 10,100
+    chars is J≈0.98 yet several 32-char bands apart). Banding on
+    ``floor(ln|S| / ln(1/t))`` makes any qualifying pair differ by at most
+    one band id (|ln n_a − ln n_b| ≤ ln(1/t)); exploding each doc into its
+    band and the next one therefore co-blocks every pair with J ≥ t.
+
+    Scale caveat (inherent to exact-recall blocking): every similar-sized
+    doc pair is a candidate, so the block join degrades toward quadratic on
+    size-homogeneous corpora. That is the price of guaranteed recall — use
+    ``minhash_lsh_pairs`` (same exact-Jaccard verify, probabilistic recall)
+    as the 100-TB path and keep this as the exact oracle / verifier."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    import math
+
+    w = max(math.log(1.0 / threshold), 1e-9)  # t→1 degrades to size-equality bands
+    ex = exploded_shingles(df, text_col, id_col, shingle_k)
+    base = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
+    sized = base.select("id", "sh", F.size("sh").alias("n"))
+    band = F.floor(F.log(F.col("n").cast("double")) / F.lit(w))
+    # bare (id, n) through the block join; shingle arrays re-attached after
+    # pair dedup (same slimming as minhash_lsh_pairs)
+    blocked = sized.select(
+        "id", "n", F.explode(F.array(band, band + 1)).alias("blk")
     )
-    # each doc lands in its own block and the previous one → neighbor pairs meet
-    blocked = base.select(
-        "id", "sh", F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("blk")
-    )
-    l = blocked.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), "blk")
-    r = blocked.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), "blk")
+    l = blocked.select(F.col("id").alias("a"), F.col("n").alias("na"), "blk")
+    r = blocked.select(F.col("id").alias("b"), F.col("n").alias("nb"), "blk")
     cands = (
         l.join(r, "blk").filter(F.col("a") < F.col("b"))
-        .filter(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
-        .select("a", "b", "sh_a", "sh_b").dropDuplicates(["a", "b"])
+        .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+        .select("a", "b").dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cands.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+    sets = sized.select("id", "sh")
+    pairs = (
+        cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
     )
+    return pairs.withColumn("jaccard", F.round(_jaccard("sh_a", "sh_b"), 6)).filter(
+        F.col("jaccard") >= threshold
+    ).select("a", "b", "jaccard")

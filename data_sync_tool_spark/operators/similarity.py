@@ -46,26 +46,42 @@ def brute_force_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
-def _srp_bits(vec_col: str, n_bits: int, dim: int, seed: int) -> F.Column:
+_SRP_WEIGHT_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def _srp_weights(spark, n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Materialize the deterministic hyperplane weights
+    h[b][d] = (pmod(xxhash64(seed,b,d), 2000001) − 10^6)/10^6 ∈ [−1, 1)
+    ONCE, with a single tiny Spark job over n_bits×dim rows — the per-ROW
+    recompute this replaces cost n_bits×dim hash calls per input vector
+    (≈6k/row at dim 768). Evaluating the identical JVM expression keeps the
+    weights (and therefore every bucket id) bit-identical to the inline form."""
+    key = (n_bits, dim, seed)
+    if key not in _SRP_WEIGHT_CACHE:
+        b = (F.col("id") / F.lit(dim)).cast("int")
+        d = F.pmod(F.col("id"), F.lit(dim)).cast("int")
+        w = (
+            F.pmod(F.xxhash64(F.lit(seed), b, d), F.lit(2_000_001)) - F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+        rows = spark.range(n_bits * dim).select(F.col("id"), w.alias("w")).collect()
+        flat = [r["w"] for r in sorted(rows, key=lambda r: r["id"])]
+        _SRP_WEIGHT_CACHE[key] = [flat[i * dim:(i + 1) * dim] for i in range(n_bits)]
+    return _SRP_WEIGHT_CACHE[key]
+
+
+def _srp_bits(spark, vec_col: str, n_bits: int, dim: int, seed: int) -> F.Column:
     """Sign-random-projection bucket id: deterministic pseudo-random
-    hyperplanes h[b][d] = xxhash64(seed,b,d)-derived ±weights, computed as
-    JVM expressions (no plane matrix to broadcast, no RNG state)."""
+    hyperplanes embedded as LITERAL weight arrays (precomputed once by
+    ``_srp_weights``); per row only the dot products remain. The zip_with +
+    left-fold aggregate structure is unchanged, so results are bit-identical
+    to the previous per-row-hash form."""
     v = F.col(vec_col)
+    weights = _srp_weights(spark, n_bits, dim, seed)
     bits = []
     for b in range(n_bits):
-        # plane weight for dim d: map hash to [-1,1) deterministically
+        plane = F.array(*[F.lit(w) for w in weights[b]])
         dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: (
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(b), d), F.lit(2_000_001))
-                        - F.lit(1_000_000)
-                    ) / F.lit(1_000_000.0),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(v, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -95,7 +111,10 @@ def lsh_topk(
         return out.select(
             "*",
             F.posexplode(
-                F.array(*[_srp_bits(f"{ident}_v", n_bits, dim, seed + t) for t in range(n_tables)])
+                F.array(*[
+                    _srp_bits(df.sparkSession, f"{ident}_v", n_bits, dim, seed + t)
+                    for t in range(n_tables)
+                ])
             ).alias("tbl", "bucket"),
         )
 
@@ -203,7 +222,10 @@ def embedding_near_dup_pairs(
     bucketed = base.select(
         "id", "v",
         F.posexplode(
-            F.array(*[_srp_bits("v", n_bits, dim, seed + t) for t in range(n_tables)])
+            F.array(*[
+                _srp_bits(df.sparkSession, "v", n_bits, dim, seed + t)
+                for t in range(n_tables)
+            ])
         ).alias("tbl", "bucket"),
     )
     l = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket")

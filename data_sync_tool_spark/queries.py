@@ -657,6 +657,68 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(planted, threshold=0.999).orderBy("a", "b")
 
 
+def q_dedup_ngram_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall at threshold 0.8 on LONG near-duplicate docs — the case fixed-
+    width length bands silently lose (a ~260-char suffix on a ~2,400-char doc
+    is J≈0.9 but many 32-char bands apart). Docs are lengthened with
+    deterministic md5 junk (shingle-rich; plain repetition would collapse the
+    distinct-shingle set) so the construction is reproducible in DuckDB."""
+    from .operators.dedup_suite import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+
+    # unrolled md5 expressions, deliberately NO transform() lambdas: stacked
+    # projections with sibling/nested lambda variables miscompile under
+    # Catalyst's projection collapse (same issue minhash_signatures documents)
+    def junk(salt: str, m: int):
+        return F.concat_ws(" ", *[
+            F.md5(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit(salt), F.lit(str(i))))
+            for i in range(1, m + 1)
+        ])
+
+    base = docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), junk("J", 60)).alias("text")
+    )
+    variants = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), junk("X", 8)).alias("text"),
+    )
+    planted = base.unionByName(variants)
+    return ngram_jaccard_pairs(planted, threshold=0.8).orderBy("a", "b")
+
+
+ORACLE_DEDUP_NGRAM_LONG = r"""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' ' || array_to_string(
+               list_transform(range(1, 61),
+                              i -> md5(doc_id::VARCHAR || '-J-' || i::VARCHAR)), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    planted AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT b.doc_id + 20000000 AS doc_id,
+             b.text || ' ' || array_to_string(
+               list_transform(range(1, 9),
+                              i -> md5(b.doc_id::VARCHAR || '-X-' || i::VARCHAR)), ' ') AS text
+      FROM base b WHERE b.doc_id % 50 = 0
+    ),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 4) + 1),
+                    i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 5))) AS sh
+           FROM planted)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ORDER BY a, b
+"""
+
+
 ORACLE_DEDUP_NGRAM = r"""
     WITH planted AS (
       SELECT doc_id, text FROM documents
@@ -847,6 +909,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+        "dedup_ngram_long": (q_dedup_ngram_long, ORACLE_DEDUP_NGRAM_LONG),
         "emb_brute_topk": (q_emb_brute_topk, ORACLE_EMB_TOPK),
         "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
         "emb_ivf_topk": (q_emb_ivf_topk, None),

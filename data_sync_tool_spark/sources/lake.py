@@ -35,8 +35,31 @@ Physical design (mirrors Iceberg v2):
 - Deletes are TOMBSTONES (``_deleted`` + the delete's LSN): a late-arriving
   older change can never resurrect a deleted key. Tombstone GC is a
   maintenance op, deliberately not part of merge.
-- Lineage: each manifest records batch offsets, op counts, and an
-  order-independent table checksum (sum-of-rowhash).
+- Lineage: each manifest records batch offsets, op counts, a batch checksum
+  (sum-of-rowhash over the rows this commit wrote) and — whenever the table
+  is in a fully-resolved state — an exact live-table checksum.
+
+Checksum design (incremental, never O(table) on the hot path):
+- Every data file's digest (sum of int32 rowhashes over its non-deleted
+  rows) is computed ONCE, when the file is first committed — an O(new files)
+  scan — and cached in the manifest next to the file list.
+- ``table_checksum`` (order-independent digest of LIVE rows, comparable
+  across merge modes / bucket counts / engines) is the SUM of the cached
+  per-file digests. That sum is exact precisely when every live file holds
+  fully-resolved rows: CoW commits, overwrite, compact, expire, rescale.
+  While MoR delta files are pending (or for collapse tables, whose live set
+  is sign-defined), the commit records ``table_checksum: null`` and the next
+  resolving commit (compact) restores the exact value — still from cached +
+  newly-written file digests only.
+- ``batch_checksum`` rides every commit's lineage regardless (digest of the
+  rows the commit wrote — the per-batch lineage contract).
+- ``audit_checksum()`` is the explicit full-recompute op (works in any
+  state); tests assert it equals the incremental value at every resolved
+  commit.
+- After additive schema evolution, cached digests computed under the old
+  column set go stale (the rowhash spans all data columns). Stale files are
+  re-digested lazily at the next resolving commit — one bounded catch-up
+  read, never a per-commit penalty.
 
 Merge strategies (reference ``core/config.py:158-160``, README "Merge
 Strategies"):
@@ -95,6 +118,7 @@ class LakeTable:
         checksum: bool = True,
         merge_mode: str = "cow",
         track_stats: bool = True,
+        idempotence_window: int = 10_000,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
@@ -107,6 +131,12 @@ class LakeTable:
         # per-batch op-count lineage costs one extra scan of the batch;
         # max-throughput ingest turns it off (offsets/rows still recorded)
         self.track_stats = track_stats
+        # exactly-once memory: how many recent batch_ids each manifest
+        # retains. Bounded so manifests stay O(1) over 10^6 commits; safe
+        # because a checkpointed source can only re-deliver batches within
+        # its replay horizon (Structured Streaming replays at most the last
+        # uncommitted epoch — a horizon of 1).
+        self.idempotence_window = idempotence_window
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         # the manifest is authoritative for the bucket count (rescale
@@ -309,16 +339,104 @@ class LakeTable:
 
     def _table_checksum(self, m_buckets: dict[str, Any], schema: T.StructType) -> int:
         """Order-independent digest of LIVE rows: sum of int32 rowhashes over
-        data columns — comparable across engines and cluster sizes."""
+        data columns — comparable across engines and cluster sizes. Full
+        recompute: O(table). Used by ``audit_checksum`` only, never per-commit."""
         files = [f for e in m_buckets.values() for k in ("base", "delta") for f in e.get(k, [])]
         df = self._read_files(files, schema)
         if any(e.get("delta") for e in m_buckets.values()):
             df = self._resolve_lww(df)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if SIGN_COL in df.columns:
+            df = collapse_live_view(df, self.key_cols)
         cols = [c for c in df.columns if c not in _SYSTEM_COLS]
         row = df.select(F.coalesce(F.sum(rowhash_int32(*cols)), F.lit(0)).alias("c")).first()
         return int(row["c"])
+
+    def audit_checksum(self) -> int:
+        """Explicit full-scan recompute of the live-table checksum. Works in
+        any state (MoR deltas resolved, collapse signs folded). The audit
+        counterpart of the incrementally-maintained lineage value."""
+        m = self._load_manifest()
+        if m is None:
+            return 0
+        return self._table_checksum(m["buckets"], self._schema_of(m))
+
+    def _file_digests(self, files: list[str], schema: T.StructType) -> dict[str, int]:
+        """Per-file digest (sum of int32 rowhashes over non-deleted rows) for
+        exactly ``files`` — ONE distributed scan of those files, grouped by
+        ``input_file_name``. Zero-live-row files digest to 0."""
+        if not files:
+            return {}
+        df = self._read_files(files, schema)
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        cols = [c for c in df.columns if c not in _SYSTEM_COLS]
+        rows = (
+            df.select(F.input_file_name().alias("_f"), rowhash_int32(*cols).alias("_h"))
+            .groupBy("_f").agg(F.sum("_h").alias("_d"))
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        got = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            got[p] = int(r["_d"])
+        return {f: got.get(f, 0) for f in files}
+
+    def _maintain_digests(
+        self, buckets: dict[str, Any], data_schema: T.StructType
+    ) -> tuple[dict[str, Any], int | None, int]:
+        """Carry the per-file digest cache forward across a commit.
+
+        Returns (cache, table_checksum, batch_checksum):
+        - digests for files new in this commit are computed (O(new files));
+        - ``table_checksum`` = Σ cached digests when every live file is
+          resolved under the current column set and no deltas/signs pend,
+          else None;
+        - ``batch_checksum`` = Σ digests of this commit's new files.
+
+        Files cached under an outdated column set (pre-schema-evolution) are
+        re-digested only when the table is otherwise resolved — a one-time
+        catch-up at the next compact, never a per-commit tax.
+        """
+        data_cols = [f.name for f in data_schema.fields if f.name not in _SYSTEM_COLS]
+        cols_key = ",".join(data_cols)
+        prev = self._load_manifest()
+        cache_prev: dict[str, Any] = prev.get("file_digests", {}) if prev else {}
+        live = self._files({"buckets": buckets}, None)
+        has_delta = any(e.get("delta") for e in buckets.values())
+        has_sign = SIGN_COL in {f.name for f in data_schema.fields}
+
+        cache: dict[str, Any] = {}
+        new_files, stale = [], []
+        for f in live:
+            e = cache_prev.get(f)
+            if e is None:
+                new_files.append(f)
+            elif e.get("cols") != cols_key:
+                stale.append(f)
+                cache[f] = e  # carried forward; excluded from any sum
+            else:
+                cache[f] = e
+        to_compute = list(new_files)
+        if stale and not has_delta:  # resolving commit: catch stale files up
+            to_compute += stale
+        computed = self._file_digests(to_compute, data_schema)
+        for f, d in computed.items():
+            cache[f] = {"d": d, "cols": cols_key}
+
+        batch_checksum = sum(computed[f] for f in new_files)
+        fresh = all(cache[f].get("cols") == cols_key for f in live)
+        table_checksum = (
+            sum(cache[f]["d"] for f in live)
+            if (not has_delta and not has_sign and fresh)
+            else None
+        )
+        return cache, table_checksum, batch_checksum
 
     def _commit(
         self,
@@ -327,15 +445,21 @@ class LakeTable:
         batch_id: str,
         lineage: dict[str, Any],
     ) -> int:
+        recent = [b for b in (self._load_manifest() or {}).get("committed_batch_ids", [])
+                  if b != batch_id]
+        recent.append(batch_id)
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "n_buckets": self.n_buckets,
-            "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
+            "committed_batch_ids": recent[-self.idempotence_window:],
             "lineage": lineage,
         }
         if self.checksum:
-            lineage["table_checksum"] = self._table_checksum(buckets, data_schema)
+            cache, table_checksum, batch_checksum = self._maintain_digests(buckets, data_schema)
+            manifest["file_digests"] = cache
+            lineage["table_checksum"] = table_checksum
+            lineage["batch_checksum"] = batch_checksum
         return self._commit_manifest(manifest)
 
     def overwrite(self, df: DataFrame, batch_id: str = "overwrite", lsn: int = 0) -> MergeResult:
@@ -544,13 +668,10 @@ class LakeTable:
             "batch_id": batch_id, "op": "merge:collapse",
             "rows_written": rows_written, **stats, **(lineage_extra or {}),
         }
-        manifest = {
-            "buckets": buckets,
-            "schema": json.dumps(data_schema.jsonValue()),
-            "committed_batch_ids": sorted(self.committed_batch_ids() | {batch_id}),
-            "lineage": lineage,
-        }
-        v = self._commit_manifest(manifest)
+        # through _commit like every other strategy: persists n_buckets (a
+        # rescale()d table must not fall back to the constructor default) and
+        # maintains the file-digest cache / batch checksum
+        v = self._commit(buckets, data_schema, batch_id, lineage)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     # ------------------------------------------------------------ compaction
@@ -685,8 +806,9 @@ class LakeTable:
         for v in range(1, keep_versions[0]):
             p = self._manifest_path(v)
             if os.path.exists(p):
-                # safe: committed_batch_ids are cumulative — every manifest
-                # carries the full set, so exactly-once dedupe survives
+                # safe: the latest manifest carries the idempotence window of
+                # recent batch_ids, so exactly-once dedupe survives for every
+                # batch a checkpointed source could still re-deliver
                 os.unlink(p)
                 removed_manifests += 1
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}

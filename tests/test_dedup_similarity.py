@@ -76,6 +76,23 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_ngram_jaccard_long_docs_recall(spark):
+    """Regression: long near-duplicates whose lengths differ by far more than
+    any fixed band width must still pair at t=0.8 (Jaccard bounds the length
+    RATIO, not the absolute difference — fixed 32-char bands lost these)."""
+    import random
+
+    rng = random.Random(7)
+    words = lambda n: " ".join(f"w{rng.randrange(100000)}" for _ in range(n))
+    base = words(1500)        # ~10,000 chars
+    suffix = words(150)       # ~1,000 extra chars → J ≈ 0.9, Δlen ≈ 1,000
+    rows = [(0, base), (1, base + " " + suffix), (2, words(1500))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8
+    assert all(2 not in p for p in pairs)
+
+
 def test_brute_force_topk_self_retrieval(spark, emb):
     # each vector's own duplicate copy should rank at cos≈1.0; here we check
     # structure: k rows per query, sorted by cos, no self matches

@@ -1,0 +1,110 @@
+"""Incremental table-checksum maintenance: the per-commit lineage digest must
+equal ``audit_checksum()``'s full recompute at every resolved commit — across
+CoW runs (with deletes), MoR runs (deletes, compaction, tombstone expiry),
+rescale, and additive schema evolution — while never re-scanning the table on
+the hot path. Also: manifests stay O(idempotence_window) over many commits."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_sync_tool_spark.sources.lake import LakeTable
+from data_sync_tool_spark.sources.registry import changelog
+
+
+@pytest.fixture(scope="module")
+def ch(spark, sf_small):
+    return changelog(spark, sf_small).cache()
+
+
+def _batches(ch, n):
+    hi = ch.agg(F.max("lsn")).first()[0] + 1
+    return [
+        ch.filter((F.col("lsn") >= i * hi // n) & (F.col("lsn") < (i + 1) * hi // n))
+        for i in range(n)
+    ]
+
+
+def test_cow_incremental_equals_audit_every_commit(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+    for i, b in enumerate(_batches(ch, 3)):
+        t.merge_into(b, batch_id=f"b{i}")
+        lin = t.lineage()[-1]
+        assert lin["table_checksum"] == t.audit_checksum()
+        assert "batch_checksum" in lin
+
+
+def test_mor_deltas_then_compact_restores_exact_digest(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+                  n_buckets=4, merge_mode="mor")
+    for i, b in enumerate(_batches(ch, 3)):
+        t.merge_into(b, batch_id=f"b{i}")
+        assert t.lineage()[-1]["table_checksum"] is None  # deltas pending
+        assert t.lineage()[-1]["batch_checksum"] is not None
+    t.compact()
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+    # tombstone expiry is a resolving rewrite too
+    t.expire_tombstones(older_than_lsn=10_000_000)
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+
+
+def test_rescale_digest_is_incremental_and_exact(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+    t.merge_into(_batches(ch, 1)[0], batch_id="b0")
+    chk = t.lineage()[-1]["table_checksum"]
+    t.rescale(16)
+    assert t.lineage()[-1]["table_checksum"] == chk == t.audit_checksum()
+
+
+def test_schema_evolution_stale_digests_catch_up_at_compact(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+                  n_buckets=4, merge_mode="mor")
+    b0, b1 = _batches(ch, 2)
+    t.merge_into(b0, batch_id="b0")
+    # additive evolution: later batches carry a new column
+    t.merge_into(b1.withColumn("model", F.lit("m-2")), batch_id="b1")
+    t.compact()
+    # post-compact, every cached digest is under the evolved column set and
+    # the incremental sum is exact again
+    lin = t.lineage()[-1]
+    assert lin["table_checksum"] is not None
+    assert lin["table_checksum"] == t.audit_checksum()
+
+
+def test_collapse_records_null_table_checksum_but_audit_works(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+    t.merge_into(_batches(ch, 1)[0], batch_id="b0", strategy="collapse")
+    assert t.lineage()[-1]["table_checksum"] is None  # sign-defined live set
+    assert isinstance(t.audit_checksum(), int)
+    # n_buckets persisted through the collapse commit (regression: the inline
+    # manifest used to drop it, so a reopened handle fell back to the default)
+    t2 = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=32)
+    assert t2.n_buckets == 4
+
+
+def test_digest_cache_covers_only_live_files(spark, ch, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+    for i, b in enumerate(_batches(ch, 3)):
+        t.merge_into(b, batch_id=f"b{i}")
+    m = t._load_manifest()
+    live = set(t._files(m, None))
+    assert set(m["file_digests"]) == live
+
+
+def test_manifest_stays_bounded_over_many_commits(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2,
+                  checksum=False, track_stats=False, idempotence_window=5)
+    one = spark.createDataFrame([("a", "upsert", 1)], "k string, op string, lsn long")
+    for i in range(12):
+        t.merge_into(one.withColumn("lsn", F.lit(i).cast("long")), batch_id=f"b{i}")
+    m = t._load_manifest()
+    assert len(m["committed_batch_ids"]) == 5
+    assert m["committed_batch_ids"][-1] == "b11"
+    # recent replays are still deduped; ancient ids have aged out by contract
+    assert t.merge_into(one, batch_id="b11").applied is False
+    assert t.merge_into(one, batch_id="b7").applied is False
+    with open(t._manifest_path(t.current_version())) as f:
+        assert len(json.load(f)["committed_batch_ids"]) <= 5

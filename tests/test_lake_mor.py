@@ -39,20 +39,29 @@ def test_mor_converges_like_cow(spark, ch, tmp_path):
 
 
 def test_mor_checksum_matches_cow(spark, ch, tmp_path):
-    """Lineage checksum is mode-independent: same live data ⇒ same digest."""
+    """Lineage checksum is mode-independent: same live data ⇒ same digest.
+    MoR commits with pending deltas record null (live digest undefined until
+    resolution); the compact commit restores the exact value from cached +
+    new per-file digests — no full-table recompute anywhere."""
     cow = LakeTable(spark, str(tmp_path / "cow"), ["conv_id", "turn_idx"], n_buckets=8)
     mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
                     n_buckets=8, merge_mode="mor")
     _merge_batches(cow, ch)
     _merge_batches(mor, ch)
+    assert mor.lineage()[-1]["table_checksum"] is None  # deltas pending
+    assert mor.audit_checksum() == cow.lineage()[-1]["table_checksum"]
+    mor.compact()
     assert cow.lineage()[-1]["table_checksum"] == mor.lineage()[-1]["table_checksum"]
+    # incremental == full recompute, both modes
+    assert cow.lineage()[-1]["table_checksum"] == cow.audit_checksum()
+    assert mor.lineage()[-1]["table_checksum"] == mor.audit_checksum()
 
 
 def test_mor_compaction_preserves_state(spark, ch, tmp_path):
     mor = LakeTable(spark, str(tmp_path / "mor"), ["conv_id", "turn_idx"],
                     n_buckets=8, merge_mode="mor")
     _merge_batches(mor, ch)
-    before = mor.lineage()[-1]["table_checksum"]
+    before = mor.audit_checksum()
     res = mor.compact()
     assert res.applied
     assert mor.lineage()[-1]["table_checksum"] == before
