@@ -59,7 +59,7 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changelog(spark, sf_dir)
     table = LakeTable(
         spark, tempfile.mkdtemp(prefix="dst_q_"), ["conv_id", "turn_idx"],
-        n_buckets=32, checksum=False,
+        n_buckets=32, checksum=True,  # incremental digest: O(batch) per commit
     )
     n = ch.agg(F.max("lsn")).first()[0] + 1
     step = max(1, n // 4)

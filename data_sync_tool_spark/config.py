@@ -125,7 +125,22 @@ class FieldConfig(BaseModel):
 
     column: str
     alias: Optional[str] = None
-    dtype: Optional[Literal["int", "float", "datetime", "str", "date"]] = None
+    # int | float | datetime | str | date | decimal | decimal(p,s)
+    # (reference type map core/config.py:17-26 + DECIMAL(10,2) in test DDL)
+    dtype: Optional[str] = None
+
+    @field_validator("dtype")
+    @classmethod
+    def check_dtype(cls, v):
+        if v is None:
+            return v
+        from .operators.transform import _spark_type
+
+        try:
+            _spark_type(v)
+        except KeyError:
+            raise ValueError(f"unknown dtype: {v!r}")
+        return v
     source_column: Optional[str] = None
 
     @model_validator(mode="before")

@@ -31,7 +31,18 @@ _DTYPE_MAP = {
     "str": "string",
     "datetime": "timestamp",
     "date": "date",
+    "decimal": "decimal(38,18)",  # bare 'decimal'; 'decimal(p,s)' passes through
 }
+
+
+def _spark_type(dtype: str) -> str:
+    """Config dtype → Spark type string. ``decimal(p,s)`` (the reference test
+    DDL uses ``DECIMAL(10,2)``, ``test/engine/reconcile/init.sql:2-8``) keeps
+    its precision/scale; bare names map through ``_DTYPE_MAP``."""
+    d = dtype.strip().lower()
+    if d.startswith("decimal") and "(" in d:
+        return d
+    return _DTYPE_MAP[d]
 
 
 def template_to_column(template: str) -> Column:
@@ -52,11 +63,190 @@ def template_to_column(template: str) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0].cast("string")
 
 
+class _Bail(Exception):
+    pass
+
+
+def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
+    """Best-effort NATIVE compilation of a sandboxed row lambda to a Column
+    expression — the common config shapes (arithmetic on a couple of columns,
+    string concat, ternaries, simple casts/methods) should not pay the Arrow
+    round-trip. Returns None when the lambda uses anything outside the safe,
+    type-checked subset; the caller falls back to the pandas-UDF path.
+
+    Type safety: translation consults the DataFrame schema, because Python
+    and SQL operators disagree by type — ``+`` concatenates Python strings
+    but Spark would cast them to double. Only ops whose Python and Spark
+    semantics provably coincide for the inferred operand types are compiled;
+    notably ``%``, ``//`` and ``**`` always bail (sign/overflow semantics
+    differ). NULL handling follows SQL three-valued logic on the native path
+    (the pandas path would raise on None instead) — acceptable for config
+    transforms, which the reference runs through SQL engines anyway.
+    """
+    import ast
+
+    try:
+        tree = ast.parse(code.strip(), mode="eval").body
+    except SyntaxError:
+        return None
+    if not isinstance(tree, ast.Lambda):
+        return None
+    a = tree.args
+    if (len(a.args) != 1 or a.posonlyargs or a.kwonlyargs or a.vararg
+            or a.kwarg or a.defaults):
+        return None
+    arg = a.args[0].arg
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    def ctype(dt: T.DataType) -> str:
+        if isinstance(dt, T.NumericType):
+            return "num"
+        if isinstance(dt, T.StringType):
+            return "str"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        return "unknown"
+
+    def col_ref(key: object) -> tuple[Column, str]:
+        if not isinstance(key, str) or key not in schema:
+            raise _Bail
+        return F.col(key), ctype(schema[key])
+
+    def conv(n: ast.AST) -> tuple[Column, str]:
+        if isinstance(n, ast.Constant):
+            v = n.value
+            if isinstance(v, bool):
+                return F.lit(v), "bool"
+            if isinstance(v, (int, float)):
+                return F.lit(v), "num"
+            if isinstance(v, str):
+                return F.lit(v), "str"
+            if v is None:
+                return F.lit(None), "unknown"
+            raise _Bail
+        if (isinstance(n, ast.Subscript) and isinstance(n.value, ast.Name)
+                and n.value.id == arg and isinstance(n.slice, ast.Constant)):
+            return col_ref(n.slice.value)
+        if isinstance(n, ast.Call):
+            # r.get('col')
+            if (isinstance(n.func, ast.Attribute) and n.func.attr == "get"
+                    and isinstance(n.func.value, ast.Name) and n.func.value.id == arg
+                    and len(n.args) == 1 and isinstance(n.args[0], ast.Constant)):
+                return col_ref(n.args[0].value)
+            # string methods on a translated str operand
+            if isinstance(n.func, ast.Attribute) and not n.args and not n.keywords:
+                base, t = conv(n.func.value)
+                if t != "str":
+                    raise _Bail
+                meth = {"upper": F.upper, "lower": F.lower, "strip": F.trim}.get(n.func.attr)
+                if meth is None:
+                    raise _Bail
+                return meth(base), "str"
+            if isinstance(n.func, ast.Name) and not n.keywords:
+                args = [conv(x) for x in n.args]
+                fname = n.func.id
+                if fname == "str" and len(args) == 1:
+                    return args[0][0].cast("string"), "str"
+                if fname == "int" and len(args) == 1 and args[0][1] == "num":
+                    return args[0][0].cast("long"), "num"
+                if fname == "float" and len(args) == 1 and args[0][1] in ("num", "str"):
+                    return args[0][0].cast("double"), "num"
+                if fname == "abs" and len(args) == 1 and args[0][1] == "num":
+                    return F.abs(args[0][0]), "num"
+                # round() deliberately NOT compiled: Python banker's rounding
+                # vs Spark half-up — silent value drift
+                if fname == "len" and len(args) == 1 and args[0][1] == "str":
+                    return F.length(args[0][0]), "num"
+            raise _Bail
+        if isinstance(n, ast.BinOp):
+            l, lt = conv(n.left)
+            r, rt = conv(n.right)
+            if isinstance(n.op, ast.Add):
+                if lt == rt == "num":
+                    return l + r, "num"
+                if lt == rt == "str":
+                    return F.concat(l, r), "str"
+                raise _Bail
+            if lt == rt == "num":
+                if isinstance(n.op, ast.Sub):
+                    return l - r, "num"
+                if isinstance(n.op, ast.Mult):
+                    return l * r, "num"
+                if isinstance(n.op, ast.Div):
+                    # Python / is true division; Spark / is double division
+                    return l.cast("double") / r.cast("double"), "num"
+            raise _Bail
+        if isinstance(n, ast.Compare) and len(n.ops) == 1:
+            l, lt = conv(n.left)
+            op = n.ops[0]
+            if isinstance(op, (ast.In, ast.NotIn)):
+                if not isinstance(n.comparators[0], (ast.List, ast.Tuple, ast.Set)):
+                    raise _Bail
+                vals = []
+                for e in n.comparators[0].elts:
+                    if not isinstance(e, ast.Constant):
+                        raise _Bail
+                    vals.append(e.value)
+                c = l.isin(vals)
+                return (~c if isinstance(op, ast.NotIn) else c), "bool"
+            r, rt = conv(n.comparators[0])
+            if "unknown" in (lt, rt) or lt != rt:
+                raise _Bail
+            ops = {ast.Eq: "__eq__", ast.NotEq: "__ne__", ast.Lt: "__lt__",
+                   ast.LtE: "__le__", ast.Gt: "__gt__", ast.GtE: "__ge__"}
+            m = ops.get(type(op))
+            if m is None:
+                raise _Bail
+            return getattr(l, m)(r), "bool"
+        if isinstance(n, ast.BoolOp):
+            parts = [conv(v) for v in n.values]
+            if any(t != "bool" for _c, t in parts):
+                raise _Bail  # Python and/or return operands, not bools
+            out = parts[0][0]
+            for c, _t in parts[1:]:
+                out = (out & c) if isinstance(n.op, ast.And) else (out | c)
+            return out, "bool"
+        if isinstance(n, ast.UnaryOp):
+            v, t = conv(n.operand)
+            if isinstance(n.op, ast.Not) and t == "bool":
+                return ~v, "bool"
+            if isinstance(n.op, ast.USub) and t == "num":
+                return -v, "num"
+            raise _Bail
+        if isinstance(n, ast.IfExp):
+            t, tt = conv(n.test)
+            if tt != "bool":
+                raise _Bail
+            yes, yt = conv(n.body)
+            no, nt = conv(n.orelse)
+            return F.when(t, yes).otherwise(no), (yt if yt == nt else "unknown")
+        if isinstance(n, ast.JoinedStr):  # f-string → concat of casts
+            parts = []
+            for v in n.values:
+                if isinstance(v, ast.Constant) and isinstance(v.value, str):
+                    parts.append(F.lit(v.value))
+                elif isinstance(v, ast.FormattedValue) and v.format_spec is None and v.conversion == -1:
+                    parts.append(conv(v.value)[0].cast("string"))
+                else:
+                    raise _Bail
+            return (F.concat(*parts) if parts else F.lit("")), "str"
+        raise _Bail
+
+    try:
+        col, _t = conv(tree.body)
+        return col
+    except _Bail:
+        return None
+
+
 def lambda_to_column(df: DataFrame, fn, out_dtype: str | None) -> Column:
     """Wrap a sandboxed row lambda as a pandas UDF over a struct of the
     input columns. Arrow ships whole batches; Python sees pandas rows —
     the reference's ``lambda r: r['a'] + r['b']`` works unchanged."""
-    spark_type = _DTYPE_MAP.get(out_dtype or "str", "string")
+    try:
+        spark_type = _spark_type(out_dtype or "str")
+    except KeyError:
+        spark_type = "string"
     ret_type = T._parse_datatype_string(spark_type)
     cols = df.columns
 
@@ -74,7 +264,7 @@ def cast_column(col: Column, dtype: str | None) -> Column:
     datetime parsing is ``cast(timestamp)`` — Spark accepts ISO-8601."""
     if dtype is None:
         return col
-    return col.cast(_DTYPE_MAP[dtype])
+    return col.cast(_spark_type(dtype))
 
 
 def source_ref_to_column(ref: str) -> Column:
@@ -94,7 +284,11 @@ def compile_field(df: DataFrame, fc: FieldConfig) -> Column:
     if dv.kind == "template":
         col = template_to_column(dv.template)
     elif dv.kind == "row_lambda":
-        col = lambda_to_column(df, dv.fn, fc.dtype)
+        # common shapes compile to native Columns (JVM, codegen); anything
+        # outside the safe subset falls back to the Arrow-batched UDF
+        col = row_lambda_to_column(df, str(dv.raw))
+        if col is None:
+            col = lambda_to_column(df, dv.fn, fc.dtype)
     elif dv.kind == "zero_arg":
         col = F.lit(dv.fn())
     else:

@@ -59,6 +59,26 @@ class Join:
 
 
 @dataclass
+class RawSql:
+    """A CTE given as a raw SQL string (the reference accepts both forms,
+    ``apijson.py:4-10``). Compiled by registering the current table map as
+    temp views and delegating to ``spark.sql`` — still a Catalyst plan."""
+
+    sql: str
+
+
+@dataclass
+class SetOp:
+    """Set operation appended to a query (Spark-native IR extension — the
+    reference's engine lacks them but its pipelines emulate UNION ALL by
+    running two configs into one sink). ``op``: union | union_all |
+    intersect | except — ANSI distinct semantics except union_all."""
+
+    op: str
+    query: "Query"
+
+
+@dataclass
 class Query:
     select: list[Field]
     table: str
@@ -71,7 +91,9 @@ class Query:
     # CTEs (reference apijson.py:4-10 / sqlglot1.py:109-118): name → subquery,
     # usable as `table` or a join target in this query. Compiled to plain
     # DataFrame subplans — Catalyst inlines or reuses them as it sees fit.
-    with_tables: dict[str, "Query"] = dc_field(default_factory=dict)
+    with_tables: dict[str, "Query | RawSql"] = dc_field(default_factory=dict)
+    # applied after select/group_by, before order_by/limit (ANSI ordering)
+    set_ops: list[SetOp] = dc_field(default_factory=list)
 
 
 def _field_column(f: Field) -> Column:
@@ -133,7 +155,12 @@ def build_dataframe(
     if query.with_tables:
         tables = dict(tables)
         for name, sub in query.with_tables.items():
-            tables[name] = build_dataframe(spark, sub, tables)
+            if isinstance(sub, RawSql):
+                for tname, tdf in tables.items():
+                    tdf.createOrReplaceTempView(tname)
+                tables[name] = spark.sql(sub.sql)
+            else:
+                tables[name] = build_dataframe(spark, sub, tables)
     df = tables[query.table].alias(query.table_alias or query.table)
     for j in query.joins:
         right = tables[j.table].alias(j.alias or j.table)
@@ -157,6 +184,18 @@ def build_dataframe(
         df = df.select(*out_cols)
     else:
         df = df.select(*[_field_column(f) for f in query.select])
+    for so in query.set_ops:
+        other = build_dataframe(spark, so.query, tables)
+        if so.op == "union_all":
+            df = df.unionByName(other)
+        elif so.op == "union":
+            df = df.unionByName(other).distinct()
+        elif so.op == "intersect":
+            df = df.intersect(other)
+        elif so.op == "except":
+            df = df.subtract(other)  # ANSI EXCEPT (distinct) semantics
+        else:
+            raise ValueError(f"unknown set op: {so.op}")
     if query.order_by:
         df = df.orderBy(
             *[

@@ -657,6 +657,99 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(planted, threshold=0.999).orderBy("a", "b")
 
 
+# --------------------------------------------------------------------------
+# JSON pipeline-config → IR → DataFrame, end to end (the reference's stored-
+# config form, apijson.py:52-96 / sqlglot1.py:164-178)
+_JSON_PIPELINE_CONFIG = """
+{
+  "name": "segment_rollup_from_stored_config",
+  "config": {
+    "ctes": [
+      {
+        "name": "big_orders",
+        "query": {
+          "select": [
+            {"expr": "o_custkey", "type": "column"},
+            {"expr": "o_totalprice", "type": "column"}
+          ],
+          "tables": [{"table": "orders", "primary": true}],
+          "filters": [{"column": "o_totalprice", "operator": ">", "value": 150000}]
+        }
+      }
+    ],
+    "select": [
+      {"expr": "c.c_mktsegment", "alias": "segment", "type": "column"},
+      {"expr": "COUNT(1)", "alias": "big_cnt", "type": "count"},
+      {"expr": "ROUND(SUM(b.o_totalprice), 2)", "alias": "total", "type": "sum"},
+      {"expr": "CASE WHEN COUNT(1) > 50 THEN 'hot' ELSE 'cold' END",
+       "alias": "heat", "type": "case"}
+    ],
+    "tables": [
+      {"table": "big_orders", "primary": true, "alias": "b"},
+      {"table": "customer", "primary": false, "alias": "c",
+       "type": "inner", "on": "b.o_custkey = c.c_custkey"}
+    ],
+    "filters": [{"column": "c.c_mktsegment", "operator": "NOT IN", "value": ["FURNITURE"]}],
+    "group_by": ["c.c_mktsegment"],
+    "order_by": [{"column": "segment", "direction": "ASC"}]
+  }
+}
+"""
+
+
+def q_json_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query built entirely FROM a stored JSON pipeline config — CTE, typed
+    count/sum/case fields, join, NOT IN filter, group/order — through
+    ``plans.config_io.load_query_config`` and the IR compiler."""
+    from .plans.config_io import load_query_config
+
+    q = load_query_config(_JSON_PIPELINE_CONFIG)
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders", "customer"]))
+
+
+ORACLE_JSON_CONFIG = """
+    WITH big_orders AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(1) AS big_cnt,
+           ROUND(SUM(b.o_totalprice), 2) AS total,
+           CASE WHEN COUNT(1) > 50 THEN 'hot' ELSE 'cold' END AS heat
+    FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment NOT IN ('FURNITURE')
+    GROUP BY c.c_mktsegment ORDER BY segment
+"""
+
+
+def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations in the IR: UNION (distinct) of two overlapping selects
+    (SURVEY §2.5 — Spark-native extension the reference pipelines emulate by
+    double-running configs into one sink)."""
+    from .plans.query import SetOp
+
+    lo = Query(
+        select=[Field("n_name"), Field("n_regionkey")],
+        table="nation",
+        filters=[Filter("n_nationkey", "<", 15)],
+    )
+    q = Query(
+        select=[Field("n_name"), Field("n_regionkey")],
+        table="nation",
+        filters=[Filter("n_nationkey", ">=", 10)],
+        set_ops=[SetOp("union", lo)],
+        order_by=[("n_name", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["nation"]))
+
+
+ORACLE_UNION_SETS = """
+    SELECT n_name, n_regionkey FROM nation WHERE n_nationkey >= 10
+    UNION
+    SELECT n_name, n_regionkey FROM nation WHERE n_nationkey < 15
+    ORDER BY n_name
+"""
+
+
 def q_dedup_ngram_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall at threshold 0.8 on LONG near-duplicate docs — the case fixed-
     width length bands silently lose (a ~260-char suffix on a ~2,400-char doc
@@ -665,7 +758,11 @@ def q_dedup_ngram_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle set) so the construction is reproducible in DuckDB."""
     from .operators.dedup_suite import ngram_jaccard_pairs
 
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # fixed-size corpus (recall gate, not a throughput probe): the exact-
+    # blocking join is the documented quadratic-ish path on long docs
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+    )
 
     # unrolled md5 expressions, deliberately NO transform() lambdas: stacked
     # projections with sibling/nested lambda variables miscompile under
@@ -693,7 +790,7 @@ ORACLE_DEDUP_NGRAM_LONG = r"""
              text || ' ' || array_to_string(
                list_transform(range(1, 61),
                               i -> md5(doc_id::VARCHAR || '-J-' || i::VARCHAR)), ' ') AS text
-      FROM documents WHERE doc_id % 10 = 0
+      FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500
     ),
     planted AS (
       SELECT doc_id, text FROM base
@@ -891,6 +988,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "scalar_functions": (q_scalar_functions, ORACLE_SCALARS),
         "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
+        "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
+        "union_sets": (q_union_sets, ORACLE_UNION_SETS),
         "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
         "reconcile_diff_timegroups": (

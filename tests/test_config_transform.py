@@ -168,3 +168,89 @@ def test_enrich_output_mapper(spark):
     out = apply_output_mapper(df, conf)
     assert out.columns == ["k", "credit"]
     assert out.first()["credit"] == "42"
+
+
+# --------------------------------------------------- native lambda compilation
+def test_row_lambda_native_compilation_matches_udf(spark):
+    """Simple lambdas compile to native Columns; results must match plain
+    Python evaluation of the same lambda on non-null data (the semantics the
+    pandas-UDF fallback implements)."""
+    from data_sync_tool_spark.config import parse_sandboxed_lambda
+    from data_sync_tool_spark.operators.transform import row_lambda_to_column
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "ab", "CD", True), (7, -1.25, "x", "yz", False)],
+        "a long, b double, s string, t string, flag boolean",
+    )
+    cases = [
+        "lambda r: r['a'] + 1",
+        "lambda r: r['a'] * 2 - r['b']",
+        "lambda r: r['a'] / 4",
+        "lambda r: r['s'] + r['t']",
+        "lambda r: r['s'].upper() + '-' + r['t'].lower()",
+        "lambda r: 'big' if r['a'] > 3 else 'small'",
+        "lambda r: r['a'] > 3 and not r['flag']",
+        "lambda r: str(r['a']) + ':' + str(r['b'])",
+        "lambda r: f\"{r['s']}#{r['a']}\"",
+        "lambda r: len(r['s']) + abs(r['b'])",
+        "lambda r: r.get('s') in ['ab', 'zz']",
+    ]
+    rows = [r.asDict() for r in df.orderBy("a").collect()]
+    for code in cases:
+        native = row_lambda_to_column(df, code)
+        assert native is not None, code
+        fn = parse_sandboxed_lambda(code)
+        got = [r["n"] for r in df.select("a", native.alias("n")).orderBy("a").collect()]
+        expect = [fn(row) for row in rows]
+        for g, e in zip(got, expect):
+            if isinstance(e, float) or isinstance(g, float):
+                assert abs(float(g) - float(e)) < 1e-9, (code, g, e)
+            else:
+                assert g == e, (code, g, e)
+
+
+def test_row_lambda_unsafe_shapes_fall_back(spark):
+    """Type- or semantics-hazardous shapes return None (→ pandas UDF path):
+    % and // (sign semantics), mixed-type +, math.* calls, comprehensions."""
+    from data_sync_tool_spark.operators.transform import row_lambda_to_column
+
+    df = spark.createDataFrame([(1, "x")], "a long, s string")
+    for code in [
+        "lambda r: r['a'] % 3",
+        "lambda r: r['a'] // 2",
+        "lambda r: r['a'] ** 2",
+        "lambda r: r['s'] + r['a']",
+        "lambda r: math.floor(r['a'])",
+        "lambda r: r['missing'] + 1",
+        "lambda r: round(r['a'], 2)",
+    ]:
+        assert row_lambda_to_column(df, code) is None, code
+
+
+def test_transform_pipeline_uses_native_path(spark, cfg):
+    """End-to-end: the configured 'lambda r: r[value] * 2' field plans with
+    NO BatchEvalPython/ArrowEvalPython node."""
+    from data_sync_tool_spark.operators.transform import apply_transform
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fields = cfg.pipelines[0].sink.fields
+    out = apply_transform(events, fields)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    row = out.orderBy("event_id").first()
+    assert row["value2"] is not None
+
+
+def test_decimal_dtype_roundtrip(spark):
+    from data_sync_tool_spark.config import FieldConfig
+    from data_sync_tool_spark.operators.transform import apply_transform
+
+    df = spark.createDataFrame([(1, "12.345")], "id long, amount string")
+    out = apply_transform(df, [
+        FieldConfig(column="id", dtype="int"),
+        FieldConfig(column="amount", dtype="decimal(10,2)"),
+    ])
+    assert out.schema["amount"].dataType.simpleString() == "decimal(10,2)"
+    assert str(out.first()["amount"]) == "12.35"
+    with pytest.raises(Exception, match="dtype"):
+        FieldConfig(column="x", dtype="bogus")
