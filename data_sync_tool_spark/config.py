@@ -201,7 +201,9 @@ class ReconciliationConfigModel(BaseModel):
     name: str
     strategy: Literal["md5sum_hash", "hash_md5_hash", "updated_at"] = "md5sum_hash"
     partition_column: str
-    partition_column_type: Literal["int", "datetime"] = "int"
+    # str/uuid reconcile over the key's hash image (reference declares but
+    # raises on these, core/config.py:237 / adapters/postgres.py:52-53)
+    partition_column_type: Literal["int", "datetime", "str", "uuid"] = "int"
     start: Optional[Any] = None
     end: Optional[Any] = None
     initial_partition_interval: Optional[int] = None

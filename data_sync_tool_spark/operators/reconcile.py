@@ -65,7 +65,14 @@ class ReconcileConfig:
     (``/root/reference/core/config.py:231-247``)."""
 
     partition_column: str
-    partition_column_type: Literal["int", "datetime"] = "int"
+    # str/uuid: reconcile over the HASH IMAGE of the key — the reference
+    # declares these types (core/config.py:237) but raises on the blockname
+    # codepath (adapters/postgres.py:52-53); here the partition value becomes
+    # pmod(xxhash64(key), 2^32) and the whole numeric drilldown works
+    # unchanged over hash space. Ranges don't prune the source scan (hash
+    # order ≠ storage order) but drilldown still localizes diffs to
+    # O(diff-size) hash ranges, which is what bounds the repair read.
+    partition_column_type: Literal["int", "datetime", "str", "uuid"] = "int"
     strategy: str = MD5_SUM_HASH
     fields: list[str] = field(default_factory=list)  # hashed columns
     order_column: str | None = None  # for hash_md5_hash
@@ -91,8 +98,14 @@ class ReconcileConfig:
         interval shrinks by <1 factor step; coverage of [lo, hi) is unchanged
         because level-1 buckets tile the whole range for any interval.
         """
-        initial = self.initial_partition_interval or (
-            365 * 24 * 60 * 60 if self.partition_column_type == "datetime" else 200_000
+        defaults = {
+            "datetime": 365 * 24 * 60 * 60,
+            # hash space is [0, 2^32): 2^22 ⇒ 1024 level-1 buckets
+            "str": 1 << 22,
+            "uuid": 1 << 22,
+        }
+        initial = self.initial_partition_interval or defaults.get(
+            self.partition_column_type, 200_000
         )
         f = self.interval_reduction_factor
         depth = 1
@@ -118,7 +131,11 @@ class Block:
 
 def _partition_value(cfg: ReconcileConfig) -> Column:
     c = F.col(cfg.partition_column)
-    return epoch_seconds(c) if cfg.partition_column_type == "datetime" else c.cast("long")
+    if cfg.partition_column_type == "datetime":
+        return epoch_seconds(c)
+    if cfg.partition_column_type in ("str", "uuid"):
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(1 << 32))
+    return c.cast("long")
 
 
 def _row_hash(cfg: ReconcileConfig, df: DataFrame) -> Column:

@@ -71,17 +71,44 @@ def _lake_adapter(spark: SparkSession, ds: DatastoreConfig, table: str) -> LakeT
     )
 
 
+_JDBC_PARALLEL_COMPANIONS = ("lowerBound", "upperBound", "numPartitions")
+
+
+def jdbc_reader_options(ds: DatastoreConfig, table: str) -> dict[str, str]:
+    """The option dict a JDBC scan runs with — separated from the load so
+    the plumbing is testable without a driver jar. What makes the scan
+    actually parallel at cluster scale is ``partitionColumn`` +
+    ``lowerBound``/``upperBound``/``numPartitions`` (each executor reads one
+    range slice; the reference reads single-threaded,
+    ``adapters/postgres.py:103-127``); an incomplete combination silently
+    degrades to ONE task, so it is rejected here instead."""
+    opts = {
+        "url": str(ds.options.get("url", "")),
+        "dbtable": table,
+        **{str(k): str(v) for k, v in ds.options.items() if k not in ("url",)},
+    }
+    if "partitionColumn" in opts:
+        missing = [k for k in _JDBC_PARALLEL_COMPANIONS if k not in opts]
+        if missing:
+            raise ValueError(
+                f"jdbc partitionColumn requires {list(_JDBC_PARALLEL_COMPANIONS)}; "
+                f"missing {missing} — without them Spark reads the whole table "
+                f"in a single task"
+            )
+    elif any(k in opts for k in _JDBC_PARALLEL_COMPANIONS):
+        raise ValueError(
+            "jdbc lowerBound/upperBound/numPartitions have no effect without "
+            "partitionColumn (the read would silently be single-task)"
+        )
+    return opts
+
+
 def _jdbc_adapter(spark: SparkSession, ds: DatastoreConfig, table: str) -> DataFrame:
     """Postgres/MySQL/ClickHouse scan via Spark's JDBC source with
     partitioned parallel reads (the reference reads single-threaded). Raises
     clearly when the driver jar is absent (this sandbox has none)."""
-    opts = {
-        "url": ds.options.get("url", ""),
-        "dbtable": table,
-        **{k: v for k, v in ds.options.items() if k not in ("url",)},
-    }
     reader = spark.read.format("jdbc")
-    for k, v in opts.items():
+    for k, v in jdbc_reader_options(ds, table).items():
         reader = reader.option(k, v)
     try:
         return reader.load()

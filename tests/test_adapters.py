@@ -74,3 +74,43 @@ def test_webhook_sink_batches_not_rows(spark):
     sink(df.coalesce(2), epoch_id=0)
     assert n_rows.value == 1000
     assert n_calls.value <= 8  # bulk posts, not 1000 per-row requests
+
+
+def test_jdbc_parallel_read_option_plumbing():
+    """partitionColumn + bounds + numPartitions must all reach the reader —
+    the combination is what parallelizes the scan across executors (the
+    reference reads single-threaded, adapters/postgres.py:103-127)."""
+    from data_sync_tool_spark.config import DatastoreConfig
+    from data_sync_tool_spark.sources.adapters import jdbc_reader_options
+
+    ds = DatastoreConfig(
+        name="pg", type="jdbc",
+        options={
+            "url": "jdbc:postgresql://db:5432/app",
+            "user": "u", "password": "p",
+            "partitionColumn": "id",
+            "lowerBound": "0", "upperBound": "1000000", "numPartitions": "32",
+            "fetchsize": "10000",
+        },
+    )
+    opts = jdbc_reader_options(ds, "events")
+    assert opts["dbtable"] == "events"
+    assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "10000" and opts["url"].startswith("jdbc:postgresql")
+
+
+def test_jdbc_incomplete_parallel_options_rejected():
+    import pytest as _pytest
+
+    from data_sync_tool_spark.config import DatastoreConfig
+    from data_sync_tool_spark.sources.adapters import jdbc_reader_options
+
+    base = {"url": "jdbc:mysql://db/app"}
+    with _pytest.raises(ValueError, match="partitionColumn requires"):
+        jdbc_reader_options(
+            DatastoreConfig(name="m", type="jdbc",
+                            options=base | {"partitionColumn": "id"}), "t")
+    with _pytest.raises(ValueError, match="no effect without"):
+        jdbc_reader_options(
+            DatastoreConfig(name="m", type="jdbc",
+                            options=base | {"numPartitions": "8"}), "t")

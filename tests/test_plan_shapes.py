@@ -123,3 +123,53 @@ def test_salted_key_is_deterministic_and_bounded(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, df.repartition(7).select("k", salted_key(F.col("k"), 8).alias("s")).collect()))
     assert a == b
+
+
+def test_repair_anti_join_is_range_restricted(spark):
+    """plan_repair's delete anti-join must scan only source rows inside the
+    divergent ranges (a full source-key scan defeats block reconcile): the
+    executed plan carries a range semi-join on BOTH the sink rows and the
+    anti-join's source side."""
+    from data_sync_tool_spark.operators.reconcile import (
+        Block,
+        ReconcileConfig,
+        plan_repair,
+    )
+
+    src = spark.range(0, 10_000).select(F.col("id"), F.col("id").alias("v"))
+    snk = src.withColumn("v", F.col("v") + (F.col("id") == 7).cast("long"))
+    cfg = ReconcileConfig(partition_column="id", fields=["id", "v"])
+    blocks = [Block(0, 1_000, 2, 1_000, "M")]
+    changes = plan_repair(src, snk, cfg, blocks, unique_keys=["id"], lsn=1)
+    plan = _plan(changes)
+    assert plan.count("LeftSemi") >= 2  # sink rows AND anti-join source side
+    assert "LeftAnti" in plan
+
+
+def test_fine_ladder_settled_blocks_stay_distributed(spark):
+    """10M rows, interval 100 ⇒ ~100k level-1 buckets, all but one N: the
+    driver must hold only the diff-sized M/A/D list while the N mass stays a
+    distributed aggregate (VERDICT r01 #3)."""
+    from data_sync_tool_spark.operators.reconcile import (
+        ReconcileConfig,
+        build_blocks,
+        status_counts,
+    )
+
+    n = 10_000_000
+    src = spark.range(0, n).select(F.col("id"), (F.col("id") % 97).alias("v"))
+    snk = src.withColumn(
+        "v", F.when(F.col("id") == 5_431_777, F.lit(-1)).otherwise(F.col("v"))
+    )
+    cfg = ReconcileConfig(
+        partition_column="id", fields=["id", "v"],
+        initial_partition_interval=100, max_block_size=10,
+    )
+    plan = build_blocks(src, snk, cfg, collect_settled=False)
+    # the corrupt row surfaces; the driver-side list is diff-sized, not
+    # bucket-sized (~100k level-1 buckets stayed distributed)
+    c = status_counts(plan)
+    assert c["M"] >= 1 and c["A"] == 0 and c["D"] == 0
+    assert c["N"] + c["M"] == n
+    assert len(plan.blocks) < 100
+    assert plan.settled_n_blocks >= 99_000

@@ -251,3 +251,46 @@ def test_repair_converges_to_all_N(spark, source, sink, tmp_path):
     c = status_counts(blocks2)
     assert c["M"] == 0 and c["A"] == 0 and c["D"] == 0
     assert c["N"] == 30_000  # full source now mirrored
+
+
+def test_str_partition_column_hash_drilldown(spark, tmp_path):
+    """str/uuid keys reconcile over the xxhash64 image of the key — the
+    codepath the reference declares but raises on (adapters/postgres.py:52-53,
+    its str test is disabled). Diffs localize in hash space; repair converges."""
+    n = 20_000
+    src = spark.range(n).select(
+        F.format_string("u-%08d", F.col("id")).alias("uid"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    # 3 corrupt values + 5 sink-only keys + 5 source-only keys
+    snk = (
+        src.filter(~F.col("uid").isin(*[f"u-{i:08d}" for i in range(5)]))  # A
+        .withColumn("v", F.when(F.col("uid").isin("u-00007777", "u-00008888",
+                                                  "u-00009999"), -1)
+                    .otherwise(F.col("v")))  # M
+        .unionByName(spark.range(n, n + 5).select(
+            F.format_string("u-%08d", F.col("id")).alias("uid"),
+            F.lit(0).alias("v")))  # D
+    )
+    # max_block_size=1: full drilldown to single-key hash leaves, where
+    # source-only/sink-only keys surface as A/D (at coarser leaves a hash
+    # bucket mixes keys from both sides, so diffs settle as M blocks)
+    cfg = ReconcileConfig(
+        partition_column="uid", partition_column_type="str",
+        fields=["uid", "v"], max_block_size=1,
+    )
+    plan = build_blocks(src, snk, cfg, collect_settled=False)
+    c = status_counts(plan)
+    assert c["A"] == 5 and c["D"] == 5 and c["M"] == 3
+    assert c["N"] == n - 5 - 3
+
+    lake = LakeTable(spark, str(tmp_path / "snk"), ["uid"], n_buckets=8, checksum=False)
+    lake.overwrite(snk, batch_id="seed", lsn=0)
+    cfg2 = ReconcileConfig(partition_column="uid", partition_column_type="str",
+                           fields=["uid", "v"], max_block_size=200)
+    blocks, _ = build_blocks(src, lake.read().drop("_lsn"), cfg2)
+    changes = plan_repair(src, lake.read().drop("_lsn"), cfg2, blocks,
+                          unique_keys=["uid"], lsn=1)
+    lake.merge_into(changes, batch_id="repair")
+    c2 = status_counts(build_blocks(src, lake.read().drop("_lsn"), cfg2))
+    assert c2["M"] == 0 and c2["A"] == 0 and c2["D"] == 0 and c2["N"] == n
