@@ -198,7 +198,7 @@ class LakeTable:
         m = self._load_manifest()
         return set(m.get("committed_batch_ids", [])) if m else set()
 
-    def history(self) -> DataFrame:
+    def history(self, last: int | None = None) -> DataFrame:
         """Commit history as a DataFrame (Iceberg ``table.history`` /
         ``DESCRIBE HISTORY`` analogue): one row per commit with op, batch_id,
         rows_written, offsets, checksum."""
@@ -212,7 +212,7 @@ class LakeTable:
                 "offset_max": rec.get("offset_max"),
                 "table_checksum": rec.get("table_checksum"),
             }
-            for rec in self.lineage()
+            for rec in self.lineage(last=last)
         ]
         schema = (
             "version long, op string, batch_id string, rows_written long, "
@@ -220,10 +220,15 @@ class LakeTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
-    def lineage(self) -> list[dict[str, Any]]:
-        """Full lineage log: one record per commit, oldest first."""
+    def lineage(self, last: int | None = None) -> list[dict[str, Any]]:
+        """Lineage log, oldest first. ``last=N`` reads only the N most recent
+        manifests — O(N) driver-side JSON reads instead of O(versions); use
+        it on long-lived tables (a 10^6-commit table must not open a million
+        manifests to answer "what happened recently")."""
         out = []
-        for v in range(1, self.current_version() + 1):
+        current = self.current_version()
+        lo = max(1, current - last + 1) if last is not None else 1
+        for v in range(lo, current + 1):
             m = self._load_manifest(v)
             if m is not None:
                 out.append(m.get("lineage", {}) | {"version": v})
@@ -514,6 +519,10 @@ class LakeTable:
         to_compute = [f for f in new_files if f not in fresh_new]
         if stale and not has_delta:  # resolving commit: catch stale files up
             to_compute += stale
+        if has_sign:
+            # collapse tables never have a summable live digest — don't pay
+            # a read-back for per-file digests that can't be used
+            to_compute = []
         computed = self._file_digests(to_compute, data_schema)
         for f, d in computed.items():
             cache[f] = {"d": d, "cols": cols_key}
@@ -753,7 +762,8 @@ class LakeTable:
             existing.unionByName(appended, allowMissingColumns=True)
             .withColumn(BUCKET_COL, self._bucket_col())
         )
-        new, dig, tot = self._write_snapshot(resolved)
+        # sign tables never have a summable live digest: batch total only
+        new, dig, tot = self._write_snapshot(resolved, per_file_digests=False)
         m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
         for b in dirty:

@@ -56,3 +56,53 @@ def test_cli_reconcile_and_incremental(tmp_path):
     assert r3["rows_written"] == 1500  # first incremental = full load (no watermark yet)
     r4 = _run("incremental", "--config", str(cfg), "--pipeline", "sync", "--name", "incr")
     assert r4["rows_written"] == 0  # watermark persisted in lineage; nothing new
+
+
+def test_spark_submit_py_files_deployment(tmp_path):
+    """The north-rule deployment mode, for real: package the engine as a zip,
+    `spark-submit --py-files engine.zip job.py`, and run a merge+read job in
+    the fresh JVM/interpreter that only sees the zip (cwd is elsewhere)."""
+    import os
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_root = os.path.join(repo, "data_sync_tool_spark")
+    zpath = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, repo))
+    job = tmp_path / "job.py"
+    job.write_text(
+        """
+import sys
+from data_sync_tool_spark.session import build_session
+from data_sync_tool_spark.sources.lake import LakeTable
+import pyspark.sql.functions as F
+
+spark = build_session("submit-job", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+t = LakeTable(spark, sys.argv[1], ["k"], n_buckets=2)
+ch = spark.range(1000).select(
+    F.concat(F.lit("k"), (F.col("id") % 100).cast("string")).alias("k"),
+    F.col("id").alias("v"), F.lit("upsert").alias("op"), F.col("id").alias("lsn"),
+)
+t.merge_into(ch, batch_id="b0")
+assert t.read().count() == 100
+assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+print("SUBMIT_OK", t.read().count())
+"""
+    )
+    env = os.environ.copy()
+    env.pop("PYTHONPATH", None)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", str(zpath),
+         str(job), str(tmp_path / "tbl")],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SUBMIT_OK 100" in out.stdout
