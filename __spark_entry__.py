@@ -69,6 +69,26 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*_FINAL_COLS)
 
 
+def _q_cdc_collapse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-strategy replay (ClickHouse CollapsingMergeTree protocol,
+    reference adapters/clickhouse.py:93-105): apply the change stream in
+    lsn-ordered batches as cancel/insert sign rows, reconstruct live state
+    by sign collapse — must equal the LWW final state."""
+    from data_sync_tool_spark.sources.lake import collapse_live_view
+
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="dst_cl_"), ["conv_id", "turn_idx"], n_buckets=16
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 4)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"cl-batch-{i}", strategy="collapse")
+    live = collapse_live_view(table.read(), ["conv_id", "turn_idx"])
+    return live.select(*_FINAL_COLS)
+
+
 def _q_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass LWW dedupe + delete-filter over the change stream."""
     return replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"]).select(
@@ -100,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": _q_cdc_changelog,
         "cdc_lww_final_state": _q_cdc_lww,
         "cdc_merge_replay": _q_cdc_replay,
+        "cdc_collapse_replay": _q_cdc_collapse_replay,
         "cdc_last_turn_per_conv": _q_cdc_last_per_conv,
     }
     out.update({name: fn for name, (fn, _sql) in catalog().items()})
@@ -125,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog": f"{_CHANGELOG_CTE} SELECT * FROM changes",
         "cdc_lww_final_state": final_state_sql,
         "cdc_merge_replay": final_state_sql,
+        "cdc_collapse_replay": final_state_sql,
         "cdc_last_turn_per_conv": f"""
             {_CHANGELOG_CTE},
             ranked AS (

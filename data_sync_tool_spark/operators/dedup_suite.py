@@ -34,11 +34,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     passes then run on one core. Fan the rows out to the session's default
     parallelism BEFORE the expensive per-row work (a tiny shuffle of raw
     text). A 100 TB input already has thousands of splits — this is a no-op
-    there."""
+    there. Sizing uses ``inputFiles()`` (pure metadata) instead of
+    ``df.rdd.getNumPartitions()``, which forces a plan→RDD conversion."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 # ------------------------------------------------------------------ exact

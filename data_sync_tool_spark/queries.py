@@ -721,6 +721,65 @@ ORACLE_JSON_CONFIG = """
 """
 
 
+def q_right_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right and full-outer joins through the IR, with genuinely unmatched
+    rows on BOTH sides (filtered CTEs), null-safe aggregation on top."""
+    na = Query(
+        select=[Field("n_name"), Field("n_regionkey")],
+        table="nation",
+        filters=[Filter("n_regionkey", "<", 3)],
+    )
+    re_ = Query(
+        select=[Field("r_name"), Field("r_regionkey")],
+        table="region",
+        filters=[Filter("r_regionkey", ">=", 1)],
+    )
+    full = Query(
+        select=[
+            Field("coalesce(re.r_name, '<no-region>')", "region_name"),
+            Field("count(na.n_name)", "nation_cnt"),
+        ],
+        table="na",
+        joins=[Join(table="re", alias="re", on="na.n_regionkey = re.r_regionkey",
+                    type="full")],
+        group_by=["coalesce(re.r_name, '<no-region>')"],
+        with_tables={"na": na, "re": re_},
+        order_by=[("region_name", "asc")],
+    )
+    right = Query(
+        select=[
+            Field("re.r_name", "region_name"),
+            Field("count(na.n_name)", "nation_cnt"),
+        ],
+        table="na",
+        joins=[Join(table="re", alias="re", on="na.n_regionkey = re.r_regionkey",
+                    type="right")],
+        group_by=["re.r_name"],
+        with_tables={"na": na, "re": re_},
+    )
+    tables = _tables(spark, sf_dir, ["nation", "region"])
+    f = build_dataframe(spark, full, tables).withColumn("join_kind", F.lit("full"))
+    r = build_dataframe(spark, right, tables).withColumn("join_kind", F.lit("right"))
+    return f.unionByName(r).orderBy("join_kind", "region_name")
+
+
+ORACLE_RIGHT_FULL = """
+    WITH na AS (SELECT n_name, n_regionkey FROM nation WHERE n_regionkey < 3),
+         re AS (SELECT r_name, r_regionkey FROM region WHERE r_regionkey >= 1)
+    SELECT * FROM (
+      SELECT coalesce(re.r_name, '<no-region>') AS region_name,
+             count(na.n_name) AS nation_cnt, 'full' AS join_kind
+      FROM na FULL OUTER JOIN re ON na.n_regionkey = re.r_regionkey
+      GROUP BY 1
+      UNION ALL
+      SELECT re.r_name AS region_name, count(na.n_name) AS nation_cnt,
+             'right' AS join_kind
+      FROM na RIGHT JOIN re ON na.n_regionkey = re.r_regionkey
+      GROUP BY 1
+    ) ORDER BY join_kind, region_name
+"""
+
+
 def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations in the IR: UNION (distinct) of two overlapping selects
     (SURVEY §2.5 — Spark-native extension the reference pipelines emulate by
@@ -990,6 +1049,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
         "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
+        "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
         "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
         "reconcile_diff_timegroups": (

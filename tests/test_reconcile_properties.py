@@ -83,3 +83,29 @@ def test_random_drift_detected_and_repaired(drop_mod, tweak_mod, extra_mod):
     blocks2, _ = build_blocks(_source, final, cfg)
     c2 = status_counts(blocks2)
     assert c2["M"] == 0 and c2["A"] == 0 and c2["D"] == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    initial=st.integers(1, 10**12),
+    factor=st.integers(2, 64),
+    mbs=st.integers(1, 10**6),
+)
+def test_interval_ladder_nests_for_any_config(initial, factor, mbs):
+    """Property: every ladder interval divides its parent exactly and the
+    ladder is strictly decreasing — the invariant the drilldown's parent
+    mapping depends on, for ANY (initial, factor, max_block_size)."""
+    from data_sync_tool_spark.operators.reconcile import ReconcileConfig
+
+    ladder = ReconcileConfig(
+        partition_column="x", initial_partition_interval=initial,
+        interval_reduction_factor=factor, max_block_size=mbs,
+    ).intervals()
+    assert ladder and ladder[-1] >= 1
+    assert all(p % c == 0 and p > c for p, c in zip(ladder, ladder[1:]))
+    # ladder depth matches the reference's repeated-floor-division loop
+    depth, iv = 1, initial
+    while iv > mbs:
+        depth += 1
+        iv //= factor
+    assert len(ladder) == depth
