@@ -40,12 +40,41 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--mode", default="mor", choices=["cow", "mor"])
     st.add_argument("--buckets", type=int, default=32)
     st.add_argument("--compact-every", type=int, default=None)
+    st.add_argument("--continuous", action="store_true",
+                    help="keep tailing (processingTime trigger) until SIGTERM/SIGINT")
+
+    qj = sub.add_parser(
+        "query", help="run a stored JSON query config (the reference api.py "
+        "persistence form) against a directory of parquet tables")
+    qj.add_argument("--config", required=True, help="JSON file or inline JSON")
+    qj.add_argument("--data", required=True, help="dir containing <table>.parquet files")
+    qj.add_argument("--output", default=None, help="write result parquet here")
+    qj.add_argument("--show", type=int, default=20, help="print up to N rows as JSON lines")
 
     args = ap.parse_args(argv)
 
     from .session import build_session
 
     spark = build_session(f"dst-{args.cmd}")
+
+    if args.cmd == "query":
+        import os
+
+        from .plans.config_io import load_query_config
+        from .plans.query import build_dataframe
+
+        q = load_query_config(args.config)
+        tables = {}
+        for fn in os.listdir(args.data):
+            if fn.endswith(".parquet"):
+                tables[fn[:-8]] = spark.read.parquet(os.path.join(args.data, fn))
+        df = build_dataframe(spark, q, tables)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        for r in df.limit(args.show).collect():
+            print(json.dumps(r.asDict(recursive=True), default=str))
+        print(json.dumps({"rows": df.count()}))
+        return 0
 
     if args.cmd in ("reconcile", "incremental"):
         from .config import Config
@@ -71,7 +100,15 @@ def main(argv: list[str] | None = None) -> int:
         name="cli", max_files_per_trigger=None,
         compact_every=args.compact_every,
     )
-    m = pipe.run_available()
+    if args.continuous:
+        from .streaming.cdc import install_shutdown_handler
+
+        install_shutdown_handler(spark)  # SIGTERM/SIGINT → graceful drain
+        q = pipe.start()
+        q.awaitTermination()
+        m = pipe.metrics
+    else:
+        m = pipe.run_available()
     print(json.dumps({
         "events": m.total_events,
         "seconds": round(m.total_seconds, 3),

@@ -106,3 +106,47 @@ print("SUBMIT_OK", t.read().count())
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SUBMIT_OK 100" in out.stdout
+
+
+def test_cli_query_json_subcommand(tmp_path):
+    """`python -m data_sync_tool_spark query --config stored.json --data dir`
+    — the reference's persisted-config execution path, end to end."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = {
+        "name": "top-nations",
+        "config": {
+            "select": [
+                {"expr": "n.n_name", "alias": "nation", "type": "column"},
+                {"expr": "COUNT(1)", "alias": "cnt", "type": "count"},
+            ],
+            "tables": [
+                {"table": "customer", "primary": True, "alias": "c"},
+                {"table": "nation", "primary": False, "alias": "n",
+                 "type": "inner", "on": "c.c_nationkey = n.n_nationkey"},
+            ],
+            "group_by": ["n.n_name"],
+            "order_by": [{"column": "cnt", "direction": "DESC"}],
+            "limit": 3,
+        },
+    }
+    cfg_path = tmp_path / "q.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    env = os.environ.copy()
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        [sys.executable, "-m", "data_sync_tool_spark", "query",
+         "--config", str(cfg_path), "--data", "/root/testdata/sf0.001",
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=240, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert _json.loads(lines[-1]) == {"rows": 3}
+    rows = [_json.loads(l) for l in lines[:-1]]
+    assert len(rows) == 3 and all({"nation", "cnt"} <= set(r) for r in rows)
+    assert rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
