@@ -89,6 +89,17 @@ def _q_cdc_collapse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.select(*_FINAL_COLS)
 
 
+def _q_windowed_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (the streaming windows operator run
+    on the bounded changelog — identical semantics, SQL-checkable: Spark's
+    window(ts, '1 minute') start == epoch floored to 60s)."""
+    from data_sync_tool_spark.streaming.windows import windowed_turn_counts
+
+    return windowed_turn_counts(changelog(spark, sf_dir)).orderBy(
+        "window_start", "conv_id"
+    )
+
+
 def _q_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass LWW dedupe + delete-filter over the change stream."""
     return replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"]).select(
@@ -122,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay": _q_cdc_replay,
         "cdc_collapse_replay": _q_cdc_collapse_replay,
         "cdc_last_turn_per_conv": _q_cdc_last_per_conv,
+        "windowed_turn_counts": _q_windowed_turn_counts,
     }
     out.update({name: fn for name, (fn, _sql) in catalog().items()})
     return out
@@ -147,6 +159,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_final_state": final_state_sql,
         "cdc_merge_replay": final_state_sql,
         "cdc_collapse_replay": final_state_sql,
+        "windowed_turn_counts": f"""
+            {_CHANGELOG_CTE},
+            b AS (
+              SELECT make_timestamp(CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 * 1000000)
+                       AS window_start,
+                     conv_id, op, lsn
+              FROM changes
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 MINUTE AS window_end,
+                   conv_id,
+                   count(1) AS n_changes,
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_deletes,
+                   min(lsn) AS lsn_min, max(lsn) AS lsn_max
+            FROM b GROUP BY window_start, conv_id
+            ORDER BY window_start, conv_id
+        """,
         "cdc_last_turn_per_conv": f"""
             {_CHANGELOG_CTE},
             ranked AS (

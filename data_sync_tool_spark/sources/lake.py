@@ -356,30 +356,44 @@ class LakeTable:
         # CollectMetrics node, so it is never written), and the per-bucket
         # sums are primitive long aggregates over it.
         per_file = per_file_digests and self.n_buckets <= _OBSERVE_DIGEST_MAX_BUCKETS
-        if self.checksum:
+        want_digests = self.checksum
+        want_lsn = LSN_COL in clustered.columns
+        if want_digests or want_lsn:
             from pyspark.sql import Observation
 
-            cols = [c for c in clustered.columns if c not in _SYSTEM_COLS and c != BUCKET_COL]
-            cols_key = ",".join(cols)
-            live_row = (
-                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-                if DELETED_COL in clustered.columns else F.lit(True)
-            )
             obs = Observation()
-            with_rh = clustered.withColumn(
-                "_rh_obs", F.when(live_row, _row_digest(*cols))
-            )
-            # per-file mode (resolved rewrites): one sum per bucket. Delta
-            # appends (MoR hot path) only need the batch total — per-file
-            # digests of delta files are never summed (deltas are removed at
-            # compact), so the hot path pays ONE long sum, not n_buckets.
-            aggs = [F.sum(F.col("_rh_obs")).alias("dt")]
-            if per_file:
-                aggs += [
-                    F.sum(F.when(F.col(BUCKET_COL) == b, F.col("_rh_obs"))).alias(f"d{b}")
-                    for b in range(self.n_buckets)
-                ]
-            to_write = with_rh.observe(obs, *aggs).drop("_rh_obs")
+            aggs = []
+            src = clustered
+            if want_digests:
+                cols = [c for c in clustered.columns
+                        if c not in _SYSTEM_COLS and c != BUCKET_COL]
+                cols_key = ",".join(cols)
+                live_row = (
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    if DELETED_COL in clustered.columns else F.lit(True)
+                )
+                src = clustered.withColumn(
+                    "_rh_obs", F.when(live_row, _row_digest(*cols))
+                )
+                # per-file mode (resolved rewrites): one sum per bucket. Delta
+                # appends (MoR hot path) only need the batch total — per-file
+                # digests of delta files are never summed (deltas are removed
+                # at compact), so the hot path pays ONE long sum, not
+                # n_buckets.
+                aggs.append(F.sum(F.col("_rh_obs")).alias("dt"))
+                if per_file:
+                    aggs += [
+                        F.sum(F.when(F.col(BUCKET_COL) == b, F.col("_rh_obs"))).alias(f"d{b}")
+                        for b in range(self.n_buckets)
+                    ]
+            if want_lsn:
+                # commit-level lsn bounds: every file of this commit gets the
+                # batch's [lsn_min, lsn_max] — a sound (conservative) file-
+                # pruning index for changes_since(); two scalar aggregates
+                aggs += [F.min(LSN_COL).alias("lsn_min"), F.max(LSN_COL).alias("lsn_max")]
+            to_write = src.observe(obs, *aggs)
+            if want_digests:
+                to_write = to_write.drop("_rh_obs")
         to_write.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(snap)):
@@ -391,18 +405,23 @@ class LakeTable:
                 os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             )
         digests: dict[str, dict[str, Any]] = {}
-        total: dict[str, Any] | None = None
-        if obs is not None:
+        total: dict[str, Any] = {}
+        if want_digests or want_lsn:
             got = obs.get
-            t = got.get("dt")
-            total = {"d": int(t) if t is not None else 0, "cols": cols_key}
-            if per_file:
-                for b, files in out.items():
-                    if len(files) == 1:
-                        v = got.get(f"d{b}")
-                        digests[files[0]] = {"d": int(v) if v is not None else 0,
-                                             "cols": cols_key}
-        return out, digests, total
+            if want_digests:
+                t = got.get("dt")
+                total["d"] = int(t) if t is not None else 0
+                total["cols"] = cols_key
+                if per_file:
+                    for b, files in out.items():
+                        if len(files) == 1:
+                            v = got.get(f"d{b}")
+                            digests[files[0]] = {"d": int(v) if v is not None else 0,
+                                                 "cols": cols_key}
+            if want_lsn and got.get("lsn_max") is not None:
+                total["lsn_min"] = int(got["lsn_min"])
+                total["lsn_max"] = int(got["lsn_max"])
+        return out, digests, total or None
 
     @staticmethod
     def _count_rows(files: list[str]) -> int:
@@ -550,14 +569,25 @@ class LakeTable:
         new_digests: dict[str, dict[str, Any]] | None = None,
         batch_total: dict[str, Any] | None = None,
     ) -> int:
-        recent = [b for b in (self._load_manifest() or {}).get("committed_batch_ids", [])
-                  if b != batch_id]
+        prev = self._load_manifest()
+        recent = [b for b in (prev or {}).get("committed_batch_ids", []) if b != batch_id]
         recent.append(batch_id)
+        # per-file lsn bounds (conservative: a commit's files inherit the
+        # commit's [lsn_min, lsn_max]) — the changes_since() pruning index.
+        # Files with no stats entry (legacy/lsn-less writes) are always read.
+        prev_stats = (prev or {}).get("file_stats", {})
+        live_files = self._files({"buckets": buckets}, None)
+        file_stats = {f: prev_stats[f] for f in live_files if f in prev_stats}
+        if batch_total and "lsn_max" in batch_total:
+            bounds = {"lsn_min": batch_total["lsn_min"], "lsn_max": batch_total["lsn_max"]}
+            for f in live_files:
+                file_stats.setdefault(f, bounds)
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "committed_batch_ids": recent[-self.idempotence_window:],
+            "file_stats": file_stats,
             "lineage": lineage,
         }
         if self.checksum:
@@ -781,6 +811,34 @@ class LakeTable:
         # maintains the file-digest cache / batch checksum
         v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
+
+    def changes_since(self, lsn: int) -> DataFrame:
+        """Incremental change feed (Delta-CDF / Iceberg-changelog analogue,
+        and the lake-native version of the reference's updated_at incremental
+        strategy, ``otel.py:83-84``): every stored row version with
+        ``_lsn > lsn``, tagged ``op ∈ {upsert, delete}``.
+
+        Files are PRUNED via the manifest's per-commit lsn bounds — a
+        downstream consumer polling a 10^10-row table reads O(new commits),
+        not O(table). Semantics: MoR tables may emit superseded versions
+        (consumers LWW by key+_lsn); history older than the last
+        compaction/rewrite is not replayable (files inherit the REWRITE
+        commit's bounds), exactly like table-format changelogs after a
+        rewrite."""
+        m = self._load_manifest()
+        if m is None:
+            return self.spark.createDataFrame([], T.StructType([]))
+        stats = m.get("file_stats", {})
+        files = [
+            f for f in self._files(m, None)
+            if f not in stats or stats[f].get("lsn_max", lsn + 1) > lsn
+        ]
+        df = self._read_files(files, self._schema_of(m)).filter(F.col(LSN_COL) > lsn)
+        if DELETED_COL in df.columns:
+            op = F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")) \
+                .otherwise(F.lit("upsert"))
+            return df.withColumn("op", op).drop(DELETED_COL)
+        return df.withColumn("op", F.lit("upsert"))
 
     # ------------------------------------------------------------ compaction
     def compact(

@@ -108,3 +108,35 @@ def test_manifest_stays_bounded_over_many_commits(spark, tmp_path):
     assert t.merge_into(one, batch_id="b7").applied is False
     with open(t._manifest_path(t.current_version())) as f:
         assert len(json.load(f)["committed_batch_ids"]) <= 5
+
+
+def test_changes_since_feed_and_file_pruning(spark, ch, tmp_path):
+    """changes_since(X): exactly the stored row versions with _lsn > X, op
+    tagged, and files whose commit lsn-bound is <= X never open."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+                  n_buckets=4, merge_mode="mor")
+    batches = _batches(ch, 3)
+    bounds = []
+    for i, b in enumerate(batches):
+        r = b.agg(F.min("lsn"), F.max("lsn")).first()
+        bounds.append((r[0], r[1]))
+        t.merge_into(b, batch_id=f"b{i}")
+    cutoff = bounds[1][1]  # everything after batch 1
+    feed = t.changes_since(cutoff)
+    # merge_into dedupes each batch to one stored version per key (LWW within
+    # the batch), so the feed carries batch 2's distinct keys
+    exp = batches[2].select("conv_id", "turn_idx").distinct().count()
+    assert feed.count() == exp
+    assert feed.filter(F.col("_lsn") <= cutoff).count() == 0
+    assert set(r["op"] for r in feed.select("op").distinct().collect()) <= {"upsert", "delete"}
+    # pruning: only files from the last commit qualify
+    m = t._load_manifest()
+    stats = m["file_stats"]
+    qualifying = [f for f in t._files(m, None)
+                  if f not in stats or stats[f]["lsn_max"] > cutoff]
+    assert 0 < len(qualifying) < len(t._files(m, None))
+    # files written by earlier commits all carry bounds <= cutoff
+    # post-compact: history collapses, feed returns latest-only versions
+    t.compact()
+    feed2 = t.changes_since(cutoff)
+    assert feed2.filter(F.col("_lsn") <= cutoff).count() == 0
