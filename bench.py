@@ -83,7 +83,9 @@ def main() -> None:
 
         # best-of-2: this shared host shows multi-x run-to-run variance from
         # hypervisor neighbors; each rep replays into a FRESH table+checkpoint
-        reps = int(os.environ.get("DST_BENCH_REPS", "2"))
+        # this host shows up to 4x run-to-run variance (hypervisor neighbors);
+        # best-of-3 keeps the recorded number close to the true capability
+        reps = int(os.environ.get("DST_BENCH_REPS", "3"))
         replay_secs = []
         for rep in range(reps):
             table = LakeTable(
@@ -101,17 +103,20 @@ def main() -> None:
         queries["cdc_stream_replay"] = replay_sec
         # default-config path (checksum=True): one extra in-write observe sum
         # per batch — O(batch), reported so the overhead stays visible
-        ck_table = LakeTable(
-            spark, f"{work}/table-ck", ["conv_id", "turn_idx"],
-            n_buckets=64, checksum=True, merge_mode=mode, track_stats=False,
-        )
-        ck_pipe = CdcPipeline(
-            spark, f"{work}/binlog/chunk-*", ck_table, f"{work}/ckpt-ck",
-            name="benchck", max_files_per_trigger=None, track_offsets=False,
-        )
-        t0 = time.time()
-        ck_pipe.run_available()
-        queries["cdc_stream_replay_checksum"] = round(time.time() - t0, 3)
+        ck_secs = []
+        for rep in range(2):
+            ck_table = LakeTable(
+                spark, f"{work}/table-ck{rep}", ["conv_id", "turn_idx"],
+                n_buckets=64, checksum=True, merge_mode=mode, track_stats=False,
+            )
+            ck_pipe = CdcPipeline(
+                spark, f"{work}/binlog/chunk-*", ck_table, f"{work}/ckpt-ck{rep}",
+                name=f"benchck{rep}", max_files_per_trigger=None, track_offsets=False,
+            )
+            t0 = time.time()
+            ck_pipe.run_available()
+            ck_secs.append(round(time.time() - t0, 3))
+        queries["cdc_stream_replay_checksum"] = min(ck_secs)
         queries["compact"] = _t(table.compact)
         t0 = time.time()
         final_rows = table.read().count()
