@@ -119,6 +119,53 @@ def _jdbc_adapter(spark: SparkSession, ds: DatastoreConfig, table: str) -> DataF
         ) from e
 
 
+_SUBJECT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def safe_subject(name: str) -> str:
+    """Reference subject validation (``adapters/nats.py:14-17``) — rejects
+    injection-prone subject strings before any publish."""
+    if not _SUBJECT_RE.match(name or ""):
+        raise ValueError(f"Invalid message-bus subject: {name!r}")
+    return name
+
+
+def make_bus_sink(
+    subject: str,
+    publish: Callable[[str, bytes], None] | None = None,
+    drop_on_shutdown: Callable[[], bool] | None = None,
+):
+    """Message-bus sink (the reference's NATS publish side,
+    ``adapters/nats.py:49-56``) as a ``foreachBatch`` body: every row is
+    published as a JSON payload to ``subject``. ``publish`` is the injected
+    transport (a real deployment passes ``nats.Client.publish`` /
+    Kafka producer.send; this sandbox has no broker, exactly like the
+    webhook sink's injected ``transport``).
+
+    Publishing happens per PARTITION on the executors — rows never collect
+    to the driver — and the reference's shutdown gate (skip publishes once
+    draining, ``:50-52``) is the optional ``drop_on_shutdown`` probe.
+    Delivery is at-least-once under micro-batch retry (the bus side is not
+    idempotent; pair with keyed/LWW consumers, as the engine's own MERGE
+    sink is)."""
+    if publish is None:  # pragma: no cover - needs a broker
+        raise ValueError("make_bus_sink requires an injected publish transport")
+    safe_subject(subject)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        def send_partition(rows):
+            import json as _json
+
+            for r in rows:
+                if drop_on_shutdown is not None and drop_on_shutdown():
+                    return
+                publish(subject, _json.dumps(r.asDict(recursive=True), default=str).encode())
+
+        batch_df.foreachPartition(send_partition)
+
+    return sink
+
+
 def make_webhook_sink(
     url: str,
     transport: Callable[[str, list[dict]], int] | None = None,

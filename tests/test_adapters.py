@@ -114,3 +114,53 @@ def test_jdbc_incomplete_parallel_options_rejected():
         jdbc_reader_options(
             DatastoreConfig(name="m", type="jdbc",
                             options=base | {"numPartitions": "8"}), "t")
+
+
+def test_bus_sink_publishes_json_per_row(spark, tmp_path):
+    """NATS-publish parity (adapters/nats.py:49-56): rows publish as JSON
+    payloads to a validated subject, executor-side (never via the driver)."""
+    import json as _json
+    import os
+
+    from data_sync_tool_spark.sources.adapters import make_bus_sink, safe_subject
+
+    out_dir = str(tmp_path / "published")
+    os.makedirs(out_dir, exist_ok=True)
+    n_pub = spark.sparkContext.accumulator(0)
+
+    def publish(subject, payload: bytes):
+        # stand-in broker: append to a per-worker spool file (executor-side)
+        n_pub.add(1)
+        rec = _json.loads(payload)
+        with open(os.path.join(out_dir, f"w{os.getpid()}.jsonl"), "a") as f:
+            f.write(_json.dumps({"subject": subject, **rec}) + "\n")
+
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(500)], "id int, name string")
+    sink = make_bus_sink("events.sync", publish=publish)
+    sink(df, epoch_id=0)
+    assert n_pub.value == 500
+    rows = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            rows += [_json.loads(l) for l in f]
+    assert len(rows) == 500
+    assert all(r["subject"] == "events.sync" for r in rows)
+    assert sorted(r["id"] for r in rows) == list(range(500))
+
+    with pytest.raises(ValueError, match="subject"):
+        safe_subject("bad subject;drop")
+    with pytest.raises(ValueError, match="subject"):
+        make_bus_sink("bad one", publish=publish)
+
+
+def test_bus_sink_shutdown_gate(spark):
+    from data_sync_tool_spark.sources.adapters import make_bus_sink
+
+    n_pub = spark.sparkContext.accumulator(0)
+    sink = make_bus_sink(
+        "events.sync",
+        publish=lambda s, p: n_pub.add(1),
+        drop_on_shutdown=lambda: True,  # draining: skip publishes (nats.py:50-52)
+    )
+    sink(spark.createDataFrame([(1,)], "id int"), epoch_id=0)
+    assert n_pub.value == 0
