@@ -16,7 +16,9 @@ declarative form the reference's api.py persists for every stored pipeline:
 - ``filters``: [{column, operator, value}] — operators normalized
                case-insensitively (``IN``, ``NOT IN``, ``BETWEEN``, ``LIKE``,
                ``IS NULL``, …).
-- ``order_by``: [{column, direction}]; ``group_by``: [str]; ``limit``: int.
+- ``order_by``: [{column, direction}]; ``group_by``: [str]; ``limit``: int;
+  ``grouping``: groups|rollup|cube; ``distinct``: bool (Spark-native
+  extensions).
 - ``set_ops``: [{op, query}] — Spark-native extension (union | union_all |
                intersect | except), absent from the reference surface.
 """
@@ -94,6 +96,8 @@ def dict_to_query(d: dict[str, Any]) -> Query:
         joins=joins,
         filters=[_parse_filter(f) for f in d.get("filters", [])],
         group_by=list(d.get("group_by", [])),
+        grouping=str(d.get("grouping", "groups")).lower(),
+        distinct=bool(d.get("distinct", False)),
         order_by=[
             (o["column"], str(o.get("direction", "asc")).lower())
             for o in d.get("order_by", [])

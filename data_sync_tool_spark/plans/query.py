@@ -86,6 +86,10 @@ class Query:
     joins: list[Join] = dc_field(default_factory=list)
     filters: list[Filter] = dc_field(default_factory=list)
     group_by: list[str] = dc_field(default_factory=list)
+    # groups | rollup | cube — subtotal grids over group_by (Spark-native
+    # extension; absent in the reference engine)
+    grouping: str = "groups"
+    distinct: bool = False  # SELECT DISTINCT
     order_by: list[tuple[str, str]] = dc_field(default_factory=list)  # (expr, asc|desc)
     limit: int | None = None
     # CTEs (reference apijson.py:4-10 / sqlglot1.py:109-118): name → subquery,
@@ -170,9 +174,16 @@ def build_dataframe(
     if query.group_by:
         agg_fields = [f for f in query.select if f.expr not in query.group_by]
         gb_alias = {g: f"_gb{i}" for i, g in enumerate(query.group_by)}
-        df = df.groupBy(
-            *[F.expr(g).alias(a) for g, a in gb_alias.items()]
-        ).agg(*[_field_column(f) for f in agg_fields])
+        gcols = [F.expr(g).alias(a) for g, a in gb_alias.items()]
+        if query.grouping == "rollup":
+            grouped = df.rollup(*gcols)
+        elif query.grouping == "cube":
+            grouped = df.cube(*gcols)
+        elif query.grouping == "groups":
+            grouped = df.groupBy(*gcols)
+        else:
+            raise ValueError(f"unknown grouping mode: {query.grouping}")
+        df = grouped.agg(*[_field_column(f) for f in agg_fields])
         # re-project to requested select order/aliases (grouping expressions
         # are referenced via their grouping alias — the base columns are gone)
         out_cols = []
@@ -184,6 +195,8 @@ def build_dataframe(
         df = df.select(*out_cols)
     else:
         df = df.select(*[_field_column(f) for f in query.select])
+    if query.distinct:
+        df = df.distinct()
     for so in query.set_ops:
         other = build_dataframe(spark, so.query, tables)
         if so.op == "union_all":

@@ -780,6 +780,57 @@ ORACLE_RIGHT_FULL = """
 """
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal grid over (returnflag, linestatus) + a DISTINCT probe
+    via the IR — grouping-set analytics the reference engine lacks."""
+    q = Query(
+        select=[
+            Field("l_returnflag"),
+            Field("l_linestatus"),
+            Field("round(sum(l_quantity), 2)", "sum_qty"),
+            Field("count(1)", "cnt"),
+        ],
+        table="lineitem",
+        group_by=["l_returnflag", "l_linestatus"],
+        grouping="rollup",
+    )
+    df = build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+    # null-safe order keys: subtotal rows carry NULL group values
+    return df.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("lstat"),
+        "sum_qty", "cnt",
+    ).orderBy("rflag", "lstat")
+
+
+ORACLE_ROLLUP = """
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstat,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(1) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstat
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[Field("c_mktsegment", "segment"), Field("c_nationkey", "nk")],
+        table="customer",
+        distinct=True,
+        order_by=[("segment", "asc"), ("nk", "asc")],
+        limit=200,
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["customer"]))
+
+
+ORACLE_DISTINCT = """
+    SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nk
+    FROM customer ORDER BY segment, nk LIMIT 200
+"""
+
+
 def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations in the IR: UNION (distinct) of two overlapping selects
     (SURVEY §2.5 — Spark-native extension the reference pipelines emulate by
@@ -1050,6 +1101,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
+        "rollup_pricing": (q_rollup_pricing, ORACLE_ROLLUP),
+        "distinct_segments": (q_distinct_segments, ORACLE_DISTINCT),
         "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
         "reconcile_diff_timegroups": (

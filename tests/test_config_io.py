@@ -145,3 +145,32 @@ def test_set_ops_union_intersect_except(spark):
     assert run("except") == [6, 7, 8, 9]
     with pytest.raises(ValueError, match="set op"):
         run("minus")
+
+
+def test_cube_and_distinct_modes(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), ("a", "x", 8)],
+        "g1 string, g2 string, v long",
+    )
+    cube_q = Query(
+        select=[Field("g1"), Field("g2"), Field("sum(v)", "s")],
+        table="t", group_by=["g1", "g2"], grouping="cube",
+    )
+    got = {
+        (r["g1"], r["g2"]): r["s"]
+        for r in build_dataframe(spark, cube_q, {"t": df}).collect()
+    }
+    assert got[(None, None)] == 15 and got[("a", None)] == 11
+    assert got[(None, "x")] == 13 and got[("a", "x")] == 9
+
+    dq = dict_to_query({
+        "select": [{"expr": "g1", "type": "column"}],
+        "tables": [{"table": "t", "primary": True}],
+        "distinct": True,
+    })
+    assert dq.distinct is True
+    assert sorted(r["g1"] for r in build_dataframe(spark, dq, {"t": df}).collect()) == ["a", "b"]
+
+    bad = Query(select=[Field("g1")], table="t", group_by=["g1"], grouping="sets")
+    with pytest.raises(ValueError, match="grouping"):
+        build_dataframe(spark, bad, {"t": df})
