@@ -169,3 +169,88 @@ def test_frame_sampling_and_resize_plan(spark):
         F.col("needs_resize") & (F.greatest("meta.width", "meta.height") <= 256)
     ).count()
     assert bad == 0
+
+
+def test_ppm_codec_round_trip():
+    import numpy as np
+
+    from data_sync_tool_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    img = (np.arange(12 * 9 * 3).reshape(9, 12, 3) % 256).astype("uint8")
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments per the netpbm spec
+    with_comment = b"P6\n# made by tests\n12 9\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    small = resize_nearest(img, 0.5)
+    assert small.shape == (4, 6, 3) or small.shape == (5, 6, 3)
+
+
+def test_real_image_pipeline_decode_features_resize(spark):
+    """End-to-end REAL pixel path: synthesize valid PPMs → decode (no
+    injected fake) → features; resize pass halves oversized images and
+    re-encodes valid PPMs with updated metadata."""
+    import numpy as np
+
+    from data_sync_tool_spark.operators.multimodal import (
+        apply_resize,
+        decode_ppm,
+        extract_features,
+        synthesize_ppm_images,
+    )
+
+    media = synthesize_ppm_images(spark, 40).cache()
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media, n_features=4).collect()}
+    assert len(feats) == 40 and all(len(v) == 4 for v in feats.values())
+    # features computed from real pixels: recompute one locally
+    row = media.filter(F.col("media_id") == 3).first()
+    arr = decode_ppm(bytes(row["payload"])).ravel()
+    chunks = np.array_split(arr.astype(np.float64), 4)
+    assert feats[3] == [round(float(c.mean()), 6) for c in chunks]
+
+    resized = apply_resize(media, max_side=32).cache()
+    assert resized.count() == 40
+    for r in resized.collect():
+        img = decode_ppm(bytes(r["payload"]))
+        assert max(img.shape[0], img.shape[1]) <= 32
+        assert (r["meta"]["height"], r["meta"]["width"]) == img.shape[:2]
+
+
+def test_wav_codec_and_mixed_media_features(spark):
+    """Real audio path: PCM WAV round-trips through the pure-numpy codec and
+    mixed PPM+WAV tables feature-extract through one kind-sniffing decoder."""
+    import numpy as np
+    import pandas as pd
+
+    from data_sync_tool_spark.operators.multimodal import (
+        decode_media,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    t = np.arange(800)
+    tone = (np.sin(t / 10.0) * 20_000).astype("int16")
+    payload = encode_wav(np.stack([tone, -tone], axis=1), sample_rate=8_000)
+    samples, rate = decode_wav(payload)
+    assert rate == 8_000 and samples.shape == (800, 2)
+    assert np.array_equal(samples[:, 0], tone)
+
+    img = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 256).astype("uint8")
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [0, 1],
+            "payload": [bytearray(encode_ppm(img)), bytearray(payload)],
+        })
+    )
+    rows = {r["media_id"]: r["features"]
+            for r in extract_features(media, n_features=4, decoder=decode_media).collect()}
+    assert len(rows) == 2 and all(len(v) == 4 for v in rows.values())
+    # audio features are real sample-chunk means
+    chunks = np.array_split(samples.astype(np.float64).ravel(), 4)
+    assert rows[1] == [round(float(c.mean()), 6) for c in chunks]
