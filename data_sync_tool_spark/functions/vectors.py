@@ -27,6 +27,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-vector norms precomputed as scalar columns.
+
+    HOF aggregates dominate pair-scoring cost (3 per pair: dot + 2 norms);
+    attaching each side's norm ONCE per row before a candidate join leaves 1
+    aggregate per pair. Bit-identical to ``cosine``: ``na``/``nb`` are the
+    same ``norm`` expression evaluated on the same arrays, and the guard /
+    division are unchanged."""
+    d = na * nb
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def l2_normalize(a: Column) -> Column:
     n = norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(

@@ -160,22 +160,37 @@ def minhash_lsh_pairs(
     an equi-join on (band, band_hash) — hot buckets (boilerplate docs) are
     the skew risk, handled by AQE skew-join; the exact verify only touches
     candidate pairs.
+
+    No ``persist()`` anywhere: caching corpus-sized intermediates (signatures
+    + shingle sets of a 100 TB input are themselves ~corpus-sized) is the
+    anti-pattern, and a lazily-returned plan has no natural unpersist point —
+    repeated calls in a long-lived session would accumulate cached blocks.
+    Instead the banding pass aggregates ONLY what banding needs (minhashes +
+    set size, no shingle arrays) and the verify pass recomputes the shingle
+    sets for its two re-attach joins — bounded extra scans, zero storage
+    footprint, measured at parity with the cached form even at bench scale.
     """
     rows_per_band = n_hashes // bands
-    # sh is the doc's distinct shingle set as int64 hashes: the exact-Jaccard
-    # verify compares longs, not strings (~10x cheaper intersects; 64-bit
-    # collisions are negligible at any realistic shingle-set size)
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    ex = exploded_shingles(df, text_col, id_col, shingle_k)
+    # banding aggregate: minhash mins + distinct-shingle count. The explicit
+    # (id, s) dedup makes count(1) the set size; the mins are unaffected.
+    sig = ex.dropDuplicates(["id", "s"]).groupBy("id").agg(
+        *[
+            F.min(_seeded_hash(seed, F.col("s"), "xxhash64")).alias(f"_mh{seed}")
+            for seed in range(n_hashes)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
     # the band self-join carries ONLY (id, set-size, band, band-hash) — the
     # full shingle arrays must not ride the ×bands explode nor both shuffle
     # sides; they are re-attached once per side AFTER candidate dedup
     banded = sig.select(
-        "id", F.size("sh").alias("n"),
+        "id", "n",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col("sig")[i] for i in range(b * rows_per_band,
-                                                                (b + 1) * rows_per_band)])
+                    F.xxhash64(*[F.col(f"_mh{i}") for i in range(b * rows_per_band,
+                                                                 (b + 1) * rows_per_band)])
                     for b in range(bands)
                 ]
             )
@@ -193,7 +208,10 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    sets = sig.select("id", "sh")
+    # verify sets: the doc's distinct shingle set as int64 hashes — the exact
+    # Jaccard compares longs, not strings (~10x cheaper intersects; 64-bit
+    # collisions are negligible at any realistic shingle-set size)
+    sets = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
     pairs = (
         cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")

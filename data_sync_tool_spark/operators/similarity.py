@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_prenormed, norm
 
 
 def brute_force_topk(
@@ -34,13 +34,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cos) exact top-k per query (self-match
     excluded). Query side is broadcast: each corpus partition scores its own
-    rows — no shuffle until the (tiny) per-query top-k reduction."""
+    rows — no shuffle until the (tiny) per-query top-k reduction. Norms are
+    attached per side BEFORE the cross join, so each of the |C|×|Q| scored
+    pairs pays one HOF aggregate (the dot), not three."""
     from .dedup_suite import _ensure_parallelism
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = _ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "query_id", "neighbor_id",
+        F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -103,32 +112,53 @@ def lsh_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: candidates = same SRP bucket in ANY of ``n_tables``
-    tables; exact cosine re-rank inside candidates."""
+    tables; exact cosine re-rank inside candidates.
+
+    Scale shape: the bucket self-join carries ONLY (id, tbl, bucket) — the
+    embedding vectors must not ride the ×n_tables explode nor either shuffle
+    side (at dim 768 that serializes each vector n_tables× and shuffles it
+    twice before pair dedup); they are re-attached once per side AFTER the
+    candidate pairs are deduped — the same slimming as
+    ``dedup_suite.minhash_lsh_pairs``."""
     dim = len(corpus.select(vec_col).first()[0])
 
-    def with_buckets(df: DataFrame, ident: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_v"))
-        return out.select(
-            "*",
+    def bucketed_ids(df: DataFrame, ident: str) -> DataFrame:
+        # bucket ids are computed from the vector in the projection, but the
+        # vector column is dropped before the explode output
+        return df.select(
+            F.col(id_col).alias(ident),
             F.posexplode(
                 F.array(*[
-                    _srp_bits(df.sparkSession, f"{ident}_v", n_bits, dim, seed + t)
+                    _srp_bits(df.sparkSession, vec_col, n_bits, dim, seed + t)
                     for t in range(n_tables)
                 ])
             ).alias("tbl", "bucket"),
         )
 
-    cb = with_buckets(corpus, "neighbor_id")
-    qb = with_buckets(queries, "query_id")
+    cb = bucketed_ids(corpus, "neighbor_id")
+    qb = bucketed_ids(queries, "query_id")
     cands = (
         cb.join(qb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias("cos"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_prenormed(F.col("qv"), F.col("cv"),
+                                     F.col("qn"), F.col("cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -156,47 +186,47 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    sample_per_centroid: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: seed centroids = deterministic hash-min sample of
-    corpus vectors (stable across partitionings), then ``n_iters`` Lloyd
-    (k-means) refinement steps — each is one distributed assignment pass
-    (Arrow matmul) + one element-wise mean aggregate (posexplode → avg by
-    (list, dim): every aggregate map-side combined, the centroid matrix is
-    the only thing ever collected). Deterministic end to end: no RNG, seeds
-    from the hash sample, fixed iteration count.
+    """IVF index build: centroids train on a bounded DETERMINISTIC hash-min
+    sample (``sample_per_centroid × n_centroids`` rows, one distributed
+    top-K-by-hash job — ``TakeOrdered`` map-side top-K, never a full sort),
+    then the corpus is assigned to its nearest centroid exactly ONCE (lazy
+    Arrow-matmul pass). Standard IVF practice: Lloyd refinement runs in
+    numpy on the driver over the collected sample — at 10^10 rows the index
+    build costs one bounded sample scan + one assignment pass, never
+    ``n_iters`` full-corpus training passes. Deterministic end to end: no
+    RNG; seeds = the ``n_centroids`` hash-smallest sample rows (identical to
+    the pre-sampling seed selection), fixed iteration count.
 
-    What refinement buys at scale: BALANCED lists (measured max-list size
-    drops monotonically with iterations) — the bound on worst-case probe
-    cost; recall at a fixed n_probe is data-dependent (near-uniform synthetic
-    embeddings gain little, clustered real embeddings gain a lot). Returns
-    (assigned corpus df + 'list_id', centroids df)."""
-    seed_rows = (
+    What refinement buys at scale: BALANCED lists (max-list size drops with
+    iterations) — the bound on worst-case probe cost; recall at fixed
+    n_probe is data-dependent. Returns (assigned corpus df + 'list_id',
+    centroids df)."""
+    n_sample = max(n_centroids, n_centroids * sample_per_centroid)
+    sample_rows = (
         corpus.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
         .orderBy("_h")
-        .limit(n_centroids)
+        .limit(n_sample)
         .collect()
     )
-    cmat = np.asarray([r[vec_col] for r in seed_rows], dtype=np.float64)
-    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    cids = np.arange(len(seed_rows), dtype=np.int64)
+    smat = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    smat = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    # seeds: the hash-smallest n_centroids rows (sample_rows is already in
+    # ascending _h order — same seeds the full-corpus variant picked)
+    cmat = smat[:n_centroids].copy()
+    cids = np.arange(len(cmat), dtype=np.int64)
 
-    base = corpus.select(id_col, vec_col)
     for _ in range(max(0, n_iters)):
-        assigned_iter = base.withColumn("list_id", _assign_udf(cmat, cids)(F.col(vec_col)))
-        means = (
-            assigned_iter.select("list_id", F.posexplode(vec_col).alias("d", "x"))
-            .groupBy("list_id", "d")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
+        # driver-local Lloyd step over the sample: assign → per-list mean
+        nearest = np.argmax(smat @ cmat.T, axis=1)
         new = cmat.copy()  # empty lists keep their previous centroid
-        by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r["list_id"], {})[r["d"]] = r["m"]
-        for lid, dims in by_list.items():
-            v = np.asarray([dims[d] for d in sorted(dims)], dtype=np.float64)
-            new[lid] = v / max(float(np.linalg.norm(v)), 1e-12)
+        for lid in range(len(cmat)):
+            members = smat[nearest == lid]
+            if len(members):
+                m = members.mean(axis=0)
+                new[lid] = m / max(float(np.linalg.norm(m)), 1e-12)
         cmat = new
 
     centroids_df = corpus.sparkSession.createDataFrame(
@@ -219,22 +249,28 @@ def ivf_topk(
     """IVF-flat search: queries probe their ``n_probe`` nearest centroid
     lists; exact cosine re-rank within the probed lists."""
     assigned, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    qc = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     probe_scores = qc.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("cs")
+        "query_id", "qv", "qn", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("cs")
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("list_id"))
     probes = (
         probe_scores.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", "qn", "list_id")
     )
     cands = probes.join(
-        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"),
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                        norm(F.col(vec_col)).alias("cn"), "list_id"),
         "list_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "query_id", "neighbor_id",
+        F.round(cosine_prenormed(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")), 6).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -251,13 +287,17 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """(a, b, cos) embedding near-duplicates: SRP-bucket candidates, exact
     cosine verify at ``threshold``. The embedding-cosine member of the dedup
-    suite."""
+    suite.
+
+    Scale shape: bare (id, tbl, bucket) through the ×n_tables explode and
+    both sides of the bucket self-join; vectors re-attached once per side
+    after candidate-pair dedup (mirrors ``minhash_lsh_pairs`` / ``lsh_topk``)."""
     dim = len(df.select(vec_col).first()[0])
     from .dedup_suite import _ensure_parallelism
 
     base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucketed = base.select(
-        "id", "v",
+        "id",
         F.posexplode(
             F.array(*[
                 _srp_bits(df.sparkSession, "v", n_bits, dim, seed + t)
@@ -265,14 +305,20 @@ def embedding_near_dup_pairs(
             ])
         ).alias("tbl", "bucket"),
     )
-    l = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket")
-    r = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "tbl", "bucket")
+    l = bucketed.select(F.col("id").alias("a"), "tbl", "bucket")
+    r = bucketed.select(F.col("id").alias("b"), "tbl", "bucket")
     cands = (
         l.join(r, ["tbl", "bucket"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb").dropDuplicates(["a", "b"])
+        .select("a", "b").dropDuplicates(["a", "b"])
     )
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                     norm(F.col("v")).alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                     norm(F.col("v")).alias("nb"))
     return (
-        cands.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cos", F.round(cosine_prenormed(F.col("va"), F.col("vb"),
+                                                    F.col("na"), F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

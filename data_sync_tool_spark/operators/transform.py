@@ -99,6 +99,11 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
     schema = {f.name: f.dataType for f in df.schema.fields}
 
     def ctype(dt: T.DataType) -> str:
+        # "int" ⊂ "num": integral types keep their own tag because some
+        # translations are only sound for them — str(float) disagrees between
+        # Python ('1e+20') and Spark ('1.0E20'), str(int) never does.
+        if isinstance(dt, T.IntegralType):
+            return "int"
         if isinstance(dt, T.NumericType):
             return "num"
         if isinstance(dt, T.StringType):
@@ -106,6 +111,9 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
         if isinstance(dt, T.BooleanType):
             return "bool"
         return "unknown"
+
+    def is_num(t: str) -> bool:
+        return t in ("int", "num")
 
     def col_ref(key: object) -> tuple[Column, str]:
         if not isinstance(key, str) or key not in schema:
@@ -117,7 +125,9 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
             v = n.value
             if isinstance(v, bool):
                 return F.lit(v), "bool"
-            if isinstance(v, (int, float)):
+            if isinstance(v, int):
+                return F.lit(v), "int"
+            if isinstance(v, float):
                 return F.lit(v), "num"
             if isinstance(v, str):
                 return F.lit(v), "str"
@@ -145,33 +155,41 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
             if isinstance(n.func, ast.Name) and not n.keywords:
                 args = [conv(x) for x in n.args]
                 fname = n.func.id
-                if fname == "str" and len(args) == 1:
+                # str() only for int/str operands: str(bool) yields
+                # 'True'/'False' in Python but 'true'/'false' in Spark,
+                # str(None) yields 'None' vs NULL, str(float) disagrees on
+                # scientific-notation spelling — all bail to the UDF path
+                if fname == "str" and len(args) == 1 and args[0][1] in ("int", "str"):
                     return args[0][0].cast("string"), "str"
-                if fname == "int" and len(args) == 1 and args[0][1] == "num":
-                    return args[0][0].cast("long"), "num"
-                if fname == "float" and len(args) == 1 and args[0][1] in ("num", "str"):
+                if fname == "int" and len(args) == 1 and is_num(args[0][1]):
+                    # Python int() and Spark cast(long) both truncate toward 0
+                    return args[0][0].cast("long"), "int"
+                if fname == "float" and len(args) == 1 and (
+                        is_num(args[0][1]) or args[0][1] == "str"):
                     return args[0][0].cast("double"), "num"
-                if fname == "abs" and len(args) == 1 and args[0][1] == "num":
-                    return F.abs(args[0][0]), "num"
+                if fname == "abs" and len(args) == 1 and is_num(args[0][1]):
+                    return F.abs(args[0][0]), args[0][1]
                 # round() deliberately NOT compiled: Python banker's rounding
                 # vs Spark half-up — silent value drift
                 if fname == "len" and len(args) == 1 and args[0][1] == "str":
-                    return F.length(args[0][0]), "num"
+                    return F.length(args[0][0]), "int"
             raise _Bail
         if isinstance(n, ast.BinOp):
             l, lt = conv(n.left)
             r, rt = conv(n.right)
+            both_num = is_num(lt) and is_num(rt)
+            num_out = "int" if lt == rt == "int" else "num"
             if isinstance(n.op, ast.Add):
-                if lt == rt == "num":
-                    return l + r, "num"
+                if both_num:
+                    return l + r, num_out
                 if lt == rt == "str":
                     return F.concat(l, r), "str"
                 raise _Bail
-            if lt == rt == "num":
+            if both_num:
                 if isinstance(n.op, ast.Sub):
-                    return l - r, "num"
+                    return l - r, num_out
                 if isinstance(n.op, ast.Mult):
-                    return l * r, "num"
+                    return l * r, num_out
                 if isinstance(n.op, ast.Div):
                     # Python / is true division; Spark / is double division
                     return l.cast("double") / r.cast("double"), "num"
@@ -187,10 +205,20 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
                     if not isinstance(e, ast.Constant):
                         raise _Bail
                     vals.append(e.value)
+                # membership must not rely on Spark's implicit casts: Python
+                # '5' in [5] is False, Spark isin would coerce — require the
+                # element types to match the operand type
+                ok = (lt == "str" and all(isinstance(v, str) for v in vals)) or (
+                    is_num(lt)
+                    and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                            for v in vals)
+                )
+                if not ok:
+                    raise _Bail
                 c = l.isin(vals)
                 return (~c if isinstance(op, ast.NotIn) else c), "bool"
             r, rt = conv(n.comparators[0])
-            if "unknown" in (lt, rt) or lt != rt:
+            if "unknown" in (lt, rt) or (lt != rt and not (is_num(lt) and is_num(rt))):
                 raise _Bail
             ops = {ast.Eq: "__eq__", ast.NotEq: "__ne__", ast.Lt: "__lt__",
                    ast.LtE: "__le__", ast.Gt: "__gt__", ast.GtE: "__ge__"}
@@ -210,8 +238,8 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
             v, t = conv(n.operand)
             if isinstance(n.op, ast.Not) and t == "bool":
                 return ~v, "bool"
-            if isinstance(n.op, ast.USub) and t == "num":
-                return -v, "num"
+            if isinstance(n.op, ast.USub) and is_num(t):
+                return -v, t
             raise _Bail
         if isinstance(n, ast.IfExp):
             t, tt = conv(n.test)
@@ -219,7 +247,23 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
                 raise _Bail
             yes, yt = conv(n.body)
             no, nt = conv(n.orelse)
-            return F.when(t, yes).otherwise(no), (yt if yt == nt else "unknown")
+            # branch types must agree (numeric widening allowed): mixed e.g.
+            # int-vs-string branches coerce to string natively but stay int in
+            # Python — bail instead of relying on Spark coercion. A literal
+            # None branch is the exception: Python None and SQL NULL coincide.
+            y_null = isinstance(n.body, ast.Constant) and n.body.value is None
+            n_null = isinstance(n.orelse, ast.Constant) and n.orelse.value is None
+            if y_null or n_null:
+                out_t = nt if y_null else yt
+            elif yt == nt:
+                out_t = yt
+            elif is_num(yt) and is_num(nt):
+                out_t = "num"
+            else:
+                raise _Bail
+            if out_t == "unknown":
+                raise _Bail
+            return F.when(t, yes).otherwise(no), out_t
         if isinstance(n, ast.JoinedStr):  # f-string → concat of casts
             parts = []
             for v in n.values:

@@ -147,6 +147,28 @@ def _filter_condition(flt: Filter) -> Column:
     raise ValueError(f"unknown filter operator: {flt.operator}")
 
 
+def _compile_raw_sql(
+    spark: SparkSession, sql: str, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Compile a RawSql CTE without leaving session-global residue: temp
+    views shadowed by the table map are snapshotted first and restored after
+    ``spark.sql`` returns (which analyzes eagerly — the returned plan no
+    longer needs the views), and views this function created are dropped.
+    A pure query-build step must not corrupt concurrent users of the session."""
+    prior_temp = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    shadowed = {n: spark.table(n) for n in tables if n in prior_temp}
+    try:
+        for tname, tdf in tables.items():
+            tdf.createOrReplaceTempView(tname)
+        return spark.sql(sql)
+    finally:
+        for tname in tables:
+            if tname in shadowed:
+                shadowed[tname].createOrReplaceTempView(tname)
+            else:
+                spark.catalog.dropTempView(tname)
+
+
 def build_dataframe(
     spark: SparkSession, query: Query, tables: dict[str, DataFrame]
 ) -> DataFrame:
@@ -160,9 +182,7 @@ def build_dataframe(
         tables = dict(tables)
         for name, sub in query.with_tables.items():
             if isinstance(sub, RawSql):
-                for tname, tdf in tables.items():
-                    tdf.createOrReplaceTempView(tname)
-                tables[name] = spark.sql(sub.sql)
+                tables[name] = _compile_raw_sql(spark, sub.sql, tables)
             else:
                 tables[name] = build_dataframe(spark, sub, tables)
     df = tables[query.table].alias(query.table_alias or query.table)

@@ -144,7 +144,11 @@ def make_bus_sink(
 
     Publishing happens per PARTITION on the executors — rows never collect
     to the driver — and the reference's shutdown gate (skip publishes once
-    draining, ``:50-52``) is the optional ``drop_on_shutdown`` probe.
+    draining, ``:50-52``) is the optional ``drop_on_shutdown`` probe,
+    evaluated ON THE DRIVER once per epoch: the probe typically closes over
+    driver-process state (e.g. ``install_shutdown_handler``'s flag), which an
+    executor-side closure could never observe on a real cluster (it is
+    pickled at submit time). A draining epoch is therefore skipped whole.
     Delivery is at-least-once under micro-batch retry (the bus side is not
     idempotent; pair with keyed/LWW consumers, as the engine's own MERGE
     sink is)."""
@@ -153,12 +157,13 @@ def make_bus_sink(
     safe_subject(subject)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if drop_on_shutdown is not None and drop_on_shutdown():
+            return  # draining: drop the whole epoch (driver-side decision)
+
         def send_partition(rows):
             import json as _json
 
             for r in rows:
-                if drop_on_shutdown is not None and drop_on_shutdown():
-                    return
                 publish(subject, _json.dumps(r.asDict(recursive=True), default=str).encode())
 
         batch_df.foreachPartition(send_partition)

@@ -549,7 +549,21 @@ class LakeTable:
         if batch_total is not None and batch_total.get("cols") == cols_key:
             batch_checksum = batch_total["d"]
         else:
-            batch_checksum = sum(cache[f]["d"] for f in new_files)
+            # the observe-path total was computed under a different column
+            # set (e.g. a producer still emitting the pre-evolution schema).
+            # New DELTA files were excluded from ``new_files`` above, and new
+            # base files of sign tables skip ``to_compute`` — summing only
+            # cached entries would silently record 0 ("empty commit") in
+            # lineage. Read back exactly this commit's undigested files under
+            # the manifest schema instead: bounded (O(batch)), rare (only on
+            # schema-mismatch commits), and keeps the per-batch contract.
+            prev_live = set(self._files(prev, None)) if prev else set()
+            new_delta = [f for f in delta_files if f not in prev_live]
+            pending = sorted(set(new_files + new_delta) - set(cache))
+            extra = self._file_digests(pending, data_schema)
+            batch_checksum = sum(
+                cache[f]["d"] for f in new_files if f in cache
+            ) + sum(extra.values())
         fresh = all(
             f in cache and cache[f].get("cols") == cols_key for f in base_files
         )

@@ -174,3 +174,29 @@ def test_cube_and_distinct_modes(spark):
     bad = Query(select=[Field("g1")], table="t", group_by=["g1"], grouping="sets")
     with pytest.raises(ValueError, match="grouping"):
         build_dataframe(spark, bad, {"t": df})
+
+
+def test_raw_sql_cte_leaves_no_view_residue(spark):
+    """Compiling a RawSql CTE must not leave (or clobber) session temp views:
+    pre-existing same-named views are restored, map-only names are dropped."""
+    pre = spark.createDataFrame([(1,)], "x long")
+    pre.createOrReplaceTempView("t_shadow")
+    try:
+        tables = {
+            "t_shadow": spark.createDataFrame([(2,)], "x long"),
+            "t_only_in_map": spark.createDataFrame([(3,)], "x long"),
+        }
+        q = Query(
+            select=[Field("x")], table="c",
+            with_tables={"c": RawSql("SELECT x FROM t_shadow")},
+        )
+        out = build_dataframe(spark, q, tables)
+        assert [r["x"] for r in out.collect()] == [2]  # CTE saw the map's table
+        # pre-existing view restored to its original plan
+        assert spark.table("t_shadow").first()["x"] == 1
+        # names that only existed in the table map are gone
+        assert not any(
+            t.name == "t_only_in_map" for t in spark.catalog.listTables()
+        )
+    finally:
+        spark.catalog.dropTempView("t_shadow")

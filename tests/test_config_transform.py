@@ -190,10 +190,14 @@ def test_row_lambda_native_compilation_matches_udf(spark):
         "lambda r: r['s'].upper() + '-' + r['t'].lower()",
         "lambda r: 'big' if r['a'] > 3 else 'small'",
         "lambda r: r['a'] > 3 and not r['flag']",
-        "lambda r: str(r['a']) + ':' + str(r['b'])",
+        "lambda r: str(r['a']) + ':' + r['s']",
         "lambda r: f\"{r['s']}#{r['a']}\"",
         "lambda r: len(r['s']) + abs(r['b'])",
         "lambda r: r.get('s') in ['ab', 'zz']",
+        "lambda r: r['a'] > 0.5",  # int col vs float literal: numeric widening
+        "lambda r: r['a'] + 1 if r['flag'] else None",  # None branch = SQL NULL
+        "lambda r: -r['a'] * 2",
+        "lambda r: r['a'] in [1, 7]",
     ]
     rows = [r.asDict() for r in df.orderBy("a").collect()]
     for code in cases:
@@ -214,7 +218,7 @@ def test_row_lambda_unsafe_shapes_fall_back(spark):
     % and // (sign semantics), mixed-type +, math.* calls, comprehensions."""
     from data_sync_tool_spark.operators.transform import row_lambda_to_column
 
-    df = spark.createDataFrame([(1, "x")], "a long, s string")
+    df = spark.createDataFrame([(1, "x", 2.5, True)], "a long, s string, b double, flag boolean")
     for code in [
         "lambda r: r['a'] % 3",
         "lambda r: r['a'] // 2",
@@ -223,6 +227,15 @@ def test_row_lambda_unsafe_shapes_fall_back(spark):
         "lambda r: math.floor(r['a'])",
         "lambda r: r['missing'] + 1",
         "lambda r: round(r['a'], 2)",
+        # str() beyond int/str: Python 'True'/'None'/'1e+20' vs Spark
+        # 'true'/NULL/'1.0E20' — must fall back, not silently drift
+        "lambda r: str(r['flag'])",
+        "lambda r: str(r['b'])",
+        # branch types disagree (int vs str): Spark would coerce, Python won't
+        "lambda r: 'x' if r['flag'] else r['a']",
+        # membership across types relies on implicit casts
+        "lambda r: r['s'] in [1, 2]",
+        "lambda r: r['a'] in ['1', '2']",
     ]:
         assert row_lambda_to_column(df, code) is None, code
 

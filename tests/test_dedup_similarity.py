@@ -254,3 +254,59 @@ def test_wav_codec_and_mixed_media_features(spark):
     # audio features are real sample-chunk means
     chunks = np.array_split(samples.astype(np.float64).ravel(), 4)
     assert rows[1] == [round(float(c.mean()), 6) for c in chunks]
+
+
+def test_ivf_trains_on_sample_with_single_driver_collect(spark, emb, monkeypatch):
+    """Index build must cost ONE bounded driver collect (the hash-min sample)
+    — Lloyd refinement runs in numpy over that sample, never as per-iteration
+    full-corpus jobs — and the returned assignment stays lazy."""
+    import pyspark.sql.classic.dataframe as d  # Spark 4: the concrete class
+
+    from data_sync_tool_spark.operators.similarity import ivf_assign
+
+    calls = []
+    orig = d.DataFrame.collect
+    monkeypatch.setattr(
+        d.DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
+    )
+    assigned, centroids = ivf_assign(emb, n_centroids=8, n_iters=2)
+    assert len(calls) == 1, f"expected 1 sample collect during training, got {len(calls)}"
+    # assignment is complete and balanced-ish: every row gets a list
+    n = emb.count()
+    assert assigned.filter(F.col("list_id").isNull()).count() == 0
+    assert assigned.count() == n
+    sizes = [r["c"] for r in assigned.groupBy("list_id").count()
+             .withColumnRenamed("count", "c").collect()]
+    assert max(sizes) < n  # not everything in one list
+
+
+def test_similarity_bucket_joins_do_not_carry_vectors(spark, emb):
+    """The SRP bucket self-join (the candidate-generation join, keyed on
+    tbl/bucket) must shuffle bare (id, tbl, bucket) rows — embedding arrays
+    re-attach only after pair dedup, once per side."""
+    from data_sync_tool_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    for plan_df in (
+        lsh_topk(emb, emb.limit(3), k=3, n_bits=3, n_tables=2),
+        embedding_near_dup_pairs(emb, threshold=0.5),
+    ):
+        opt = plan_df._jdf.queryExecution().optimizedPlan()
+        stack, bucket_joins = [opt], []
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Join" and "bucket" in node.condition().toString():
+                bucket_joins.append(node)
+            for i in range(node.children().length()):
+                stack.append(node.children().apply(i))
+        assert bucket_joins, "no bucket join found in the optimized plan"
+        for j in bucket_joins:
+            for i in range(2):
+                out = j.children().apply(i).output()
+                vec_cols = [
+                    out.apply(k).name() for k in range(out.length())
+                    if "ArrayType" in out.apply(k).dataType().toString()
+                ]
+                assert not vec_cols, f"vectors ride the bucket join: {vec_cols}"

@@ -74,6 +74,24 @@ def test_schema_evolution_stale_digests_catch_up_at_compact(spark, ch, tmp_path)
     assert lin["table_checksum"] == t.audit_checksum()
 
 
+def test_batch_checksum_real_on_schema_mismatch_delta_append(spark, ch, tmp_path):
+    """A MoR delta append whose producer still emits the pre-evolution column
+    set must record the commit's REAL row digest (read back under the manifest
+    schema), never a silent 0 that reads as 'empty commit' in lineage."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+                  n_buckets=4, merge_mode="mor")
+    b0, b1 = _batches(ch, 2)
+    t.merge_into(b0.withColumn("model", F.lit("m-1")), batch_id="b0")
+    files_before = set(t._files(t._load_manifest(), None))
+    t.merge_into(b1, batch_id="b1")  # narrow batch: no 'model' column
+    m = t._load_manifest()
+    new_files = sorted(set(t._files(m, None)) - files_before)
+    assert new_files
+    expected = sum(t._file_digests(new_files, t._schema_of(m)).values())
+    assert m["lineage"]["batch_checksum"] == expected
+    assert m["lineage"]["batch_checksum"] != 0
+
+
 def test_collapse_records_null_table_checksum_but_audit_works(spark, ch, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
     t.merge_into(_batches(ch, 1)[0], batch_id="b0", strategy="collapse")
