@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     rec.add_argument("--pipeline", required=True)
     rec.add_argument("--name", required=True)
     rec.add_argument("--dry-run", action="store_true", help="report counts, no merge")
+    rec.add_argument(
+        "--collect-settled", action="store_true",
+        help="materialize matched (N) blocks on the driver too — debug aid; "
+        "the default keeps them a distributed aggregate",
+    )
 
     inc = sub.add_parser("incremental", help="updated_at watermark sync")
     inc.add_argument("--config", required=True)
@@ -82,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
 
         pipe = Pipeline(spark, Config.load(args.config), args.pipeline)
         if args.cmd == "reconcile":
-            out = pipe.run_reconciliation(args.name, apply=not args.dry_run)
+            out = pipe.run_reconciliation(
+                args.name, apply=not args.dry_run,
+                collect_settled=args.collect_settled,
+            )
         else:
             out = pipe.run_incremental(args.name)
         print(json.dumps(out, default=str))

@@ -115,7 +115,11 @@ class Pipeline:
 
     # -------------------------------------------------------------- runs
     def run_reconciliation(
-        self, recon_name: str, apply: bool = True, lsn: int | None = None
+        self,
+        recon_name: str,
+        apply: bool = True,
+        lsn: int | None = None,
+        collect_settled: bool = False,
     ) -> dict[str, Any]:
         """prepare_data_blocks + the load phase (``engine/pipeline.py:123-137``
         + the reference's commented-out ``load``): diff source vs sink with
@@ -147,9 +151,10 @@ class Pipeline:
             start=start,
             end=end,
         )
-        # collect_settled=False: matched blocks stay a distributed aggregate —
-        # the driver only ever holds the diff-sized M/A/D block list
-        plan = build_blocks(src, snk, cfg, collect_settled=False)
+        # collect_settled=False (the default): matched blocks stay a
+        # distributed aggregate — the driver only ever holds the diff-sized
+        # M/A/D block list. True materializes N blocks too (debug only).
+        plan = build_blocks(src, snk, cfg, collect_settled=collect_settled)
         blocks = plan.blocks
         out: dict[str, Any] = {
             "counts": status_counts(plan),
@@ -207,7 +212,26 @@ class Pipeline:
         return {"rows_written": res.rows_written, "watermark": hi, "applied": res.applied}
 
     def last_watermark(self, recon_name: str) -> Any | None:
-        for rec in reversed(self.sink_lake().lineage()):
-            if rec.get("reconciliation") == recon_name and "watermark" in rec:
-                return rec["watermark"]
+        """O(1) on current tables: every commit carries the per-reconciliation
+        watermark map forward in its manifest, so resume reads ONE manifest —
+        a 10^6-commit table must not open a million JSON files per
+        incremental run. Legacy tables (written before the carried map) fall
+        back to a backward walk that stops at the first hit or the vacuum
+        horizon — O(commits since the last watermark), never O(versions)."""
+        lake = self.sink_lake()
+        m = lake._load_manifest()
+        if m is None:
+            return None
+        wm = m.get("watermarks")
+        if wm is not None:
+            return wm.get(recon_name)
+        for v in range(m.get("version", lake.current_version()) - 1, 0, -1):
+            mv = lake._load_manifest(v)
+            if mv is None:  # vacuumed horizon
+                break
+            lin = mv.get("lineage", {})
+            if lin.get("reconciliation") == recon_name and "watermark" in lin:
+                return lin["watermark"]
+            if mv.get("watermarks") is not None:
+                return mv["watermarks"].get(recon_name)
         return None

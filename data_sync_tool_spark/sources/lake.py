@@ -311,7 +311,10 @@ class LakeTable:
         base_files = self._files(m, buckets, "base")
         delta_files = self._files(m, buckets, "delta")
         df = self._read_files(base_files + delta_files, schema)
-        if delta_files:
+        if delta_files and SIGN_COL not in df.columns:
+            # sign tables never LWW-resolve: the raw cancel/insert rows ARE
+            # the table (the sign sum does the resolution at view time), and
+            # a max-lsn reduce would silently drop cancel rows
             df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -437,7 +440,7 @@ class LakeTable:
         recompute: O(table). Used by ``audit_checksum`` only, never per-commit."""
         files = [f for e in m_buckets.values() for k in ("base", "delta") for f in e.get(k, [])]
         df = self._read_files(files, schema)
-        if any(e.get("delta") for e in m_buckets.values()):
+        if any(e.get("delta") for e in m_buckets.values()) and SIGN_COL not in df.columns:
             df = self._resolve_lww(df)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -596,12 +599,19 @@ class LakeTable:
             bounds = {"lsn_min": batch_total["lsn_min"], "lsn_max": batch_total["lsn_max"]}
             for f in live_files:
                 file_stats.setdefault(f, bounds)
+        # incremental-sync watermarks carry forward in EVERY manifest, so
+        # resuming a long-lived table reads one JSON file, never a lineage
+        # scan over O(commits) versions
+        watermarks = dict((prev or {}).get("watermarks", {}))
+        if "reconciliation" in lineage and "watermark" in lineage:
+            watermarks[str(lineage["reconciliation"])] = lineage["watermark"]
         manifest = {
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "committed_batch_ids": recent[-self.idempotence_window:],
             "file_stats": file_stats,
+            "watermarks": watermarks,
             "lineage": lineage,
         }
         if self.checksum:
@@ -664,16 +674,32 @@ class LakeTable:
             # allow_delete=False, core/config.py:158-160)
             batch = batch.filter(F.col("_op") != F.lit("delete"))
 
+        # ONE pre-scan of the batch serves both the op-count lineage stats and
+        # the dirty-bucket list (collapse/delete_insert/CoW need it; MoR
+        # upsert learns its buckets from the write itself) — two separate
+        # jobs here would scan the batch twice per commit
+        need_dirty = strategy in ("collapse", "delete_insert") or (
+            strategy == "upsert" and self.merge_mode == "cow"
+        )
         stats: dict[str, Any] = {}
-        if self.track_stats:
+        dirty: list[int] | None = None
+        if need_dirty:
+            pre = batch.groupBy("_op", BUCKET_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+            dirty = sorted({r[BUCKET_COL] for r in pre})
+            if self.track_stats:
+                op_counts: dict[str, int] = {}
+                for r in pre:
+                    op_counts[r["_op"]] = op_counts.get(r["_op"], 0) + r["n"]
+                stats["op_counts"] = op_counts
+        elif self.track_stats:
             stats["op_counts"] = {
                 r["_op"]: r["n"]
                 for r in batch.groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
             }
         if strategy == "collapse":
-            return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra)
+            return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra, dirty)
         if strategy == "delete_insert":
-            return self._merge_delete_insert(batch, batch_id, stats, lineage_extra)
+            return self._merge_delete_insert(batch, batch_id, stats, lineage_extra, dirty)
 
         # -------- upsert: dedupe batch to one row per key with tombstones
         deduped = self._resolve_lww(
@@ -682,6 +708,7 @@ class LakeTable:
 
         m = self._load_manifest()
         if self.merge_mode == "mor":
+            assert dirty is None  # MoR: no pre-read, buckets come from the write
             # no pre-read, no dirty-bucket job: the write itself reveals which
             # buckets got deltas (dir listing), so MoR ingest is exactly ONE
             # scan + one shuffle + one write per batch.
@@ -695,7 +722,8 @@ class LakeTable:
             if m is not None:  # additive schema evolution: union field sets
                 data_schema = _merge_schemas(self._schema_of(m), data_schema)
         else:
-            dirty = [r[BUCKET_COL] for r in deduped.select(BUCKET_COL).distinct().collect()]
+            # dirty buckets of the deduped batch == those of the raw batch
+            # (LWW only drops rows within a key, never a bucket)
             target = self.read(buckets=dirty, include_deleted=True)
             if not target.columns:
                 target = deduped.drop(BUCKET_COL).limit(0)
@@ -727,12 +755,12 @@ class LakeTable:
         batch_id: str,
         stats: dict[str, Any],
         lineage_extra: dict[str, Any] | None,
+        dirty: list[int],
     ) -> MergeResult:
         """delete_insert (CoW only): remove every target row whose key matches
         a batch key, insert batch rows. Physical-removal semantics (no
         tombstones) per the reference's delete-then-insert contract —
         assumes in-order delivery."""
-        dirty = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
         target = self.read(buckets=dirty, include_deleted=True)
         inserts = (
             batch.filter(F.col("_op") != F.lit("delete"))
@@ -772,14 +800,21 @@ class LakeTable:
         batch_id: str,
         stats: dict[str, Any],
         lineage_extra: dict[str, Any] | None,
+        dirty: list[int],
     ) -> MergeResult:
-        """Collapse: append-only. For each incoming change, append a cancel
-        row (_sign=-1) mirroring the live row (if any), then the new row with
-        _sign=+1 (deletes append only the cancel). Readers reconstruct live
-        state by summing signs — ClickHouse CollapsingMergeTree, the protocol
-        the reference targets for its append-only ClickHouse sink
-        (``/root/reference/adapters/clickhouse.py:93-105``)."""
-        dirty = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+        """Collapse: APPEND-ONLY, exactly the CollapsingMergeTree protocol the
+        reference targets for its ClickHouse sink
+        (``/root/reference/adapters/clickhouse.py:93-105``, plain INSERTs):
+        for each incoming change, append a cancel row (_sign=-1) mirroring
+        the live row (if any), then the new row with _sign=+1 (deletes append
+        only the cancel). Readers reconstruct live state by summing signs.
+
+        The cancel+insert rows land as MoR DELTA files — per-batch write cost
+        is O(batch keys), independent of table size (reading the dirty
+        buckets' live view to COMPUTE the cancels is inherent to the
+        protocol; rewriting them was not). Sign rows need no LWW resolve on
+        read — the sign sum does the work — so ``compact()`` folds signs
+        (annihilated pairs vanish) and rewrites the survivors as +1 base."""
         target = self.read(buckets=dirty)
         if not target.columns:
             target = batch.drop(BUCKET_COL, "_op").withColumn(SIGN_COL, F.lit(1)).limit(0)
@@ -800,24 +835,25 @@ class LakeTable:
         inserts = (
             latest.filter(F.col("_op") != F.lit("delete")).drop("_op").withColumn(SIGN_COL, F.lit(1))
         )
-        appended = cancels.unionByName(inserts, allowMissingColumns=True)
-        existing = target if SIGN_COL in target.columns else target.withColumn(SIGN_COL, F.lit(1))
-        resolved = (
-            existing.unionByName(appended, allowMissingColumns=True)
+        appended = (
+            cancels.unionByName(inserts, allowMissingColumns=True)
             .withColumn(BUCKET_COL, self._bucket_col())
         )
         # sign tables never have a summable live digest: batch total only
-        new, dig, tot = self._write_snapshot(resolved, per_file_digests=False)
+        new, dig, tot = self._write_snapshot(appended, per_file_digests=False)
         m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
-        for b in dirty:
-            buckets.pop(str(b), None)
         for b, fs in new.items():
-            buckets[b] = {"base": fs, "delta": []}
-        data_schema = resolved.drop(BUCKET_COL).schema
+            e = self._entry(m, b)
+            e["delta"] = e["delta"] + fs
+            buckets[b] = e
+        data_schema = appended.drop(BUCKET_COL).schema
+        if m is not None:  # additive schema evolution: union field sets
+            data_schema = _merge_schemas(self._schema_of(m), data_schema)
         rows_written = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {
             "batch_id": batch_id, "op": "merge:collapse",
+            "touched_buckets": sorted(int(b) for b in new),
             "rows_written": rows_written, **stats, **(lineage_extra or {}),
         }
         # through _commit like every other strategy: persists n_buckets (a
@@ -862,7 +898,9 @@ class LakeTable:
         min_delta_files: int = 1,
     ) -> MergeResult:
         """Fold delta files into base for the given (default: all
-        delta-bearing) buckets: read base∪delta, LWW-resolve, rewrite as base.
+        delta-bearing) buckets: read base∪delta, resolve (LWW for upsert
+        tables; sign-sum fold for collapse tables — annihilated cancel/insert
+        pairs vanish, survivors rewrite as +1 rows), rewrite as base.
         The MoR maintenance op — run on a schedule or when delta/base ratio
         crosses a threshold; at cluster scale this is a background job that
         never blocks ingest (it commits a new snapshot like any writer)."""
@@ -878,7 +916,11 @@ class LakeTable:
             return MergeResult(m["version"], batch_id or "compact", False)
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, dirty), schema)
-        resolved = self._resolve_lww(df).withColumn(BUCKET_COL, self._bucket_col())
+        if SIGN_COL in df.columns:
+            resolved = collapse_live_view(df, self.key_cols).withColumn(SIGN_COL, F.lit(1))
+        else:
+            resolved = self._resolve_lww(df)
+        resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
         new, dig, tot = self._write_snapshot(resolved)
         out = dict(m["buckets"])
         for b in dirty:
@@ -943,8 +985,8 @@ class LakeTable:
             return MergeResult(0, batch_id or "rescale", False)
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, None), schema)
-        if any(e.get("delta") for e in m["buckets"].values()):
-            df = self._resolve_lww(df)
+        if any(e.get("delta") for e in m["buckets"].values()) and SIGN_COL not in df.columns:
+            df = self._resolve_lww(df)  # sign rows rebucket raw (no LWW)
         self.n_buckets = n_buckets
         rebucketed = df.withColumn(BUCKET_COL, self._bucket_col())
         new, dig, tot = self._write_snapshot(rebucketed)
@@ -1007,11 +1049,24 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
 
 def collapse_live_view(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Reconstruct live rows from a collapse-strategy table: per full row,
-    keep rows whose sign sum is positive (cancels annihilate originals)."""
+    keep rows whose sign sum is positive (cancels annihilate originals).
+
+    The group key is (key columns, 64-bit payload rowhash), NOT the raw
+    payload: wide text columns must not ride the shuffle as grouping keys
+    (hash-compare beats long-string compare, and the partial aggregation
+    buffers stay slim). Payload values are recovered with ``max`` — within a
+    group every payload is identical by construction (64-bit collisions
+    within one key are negligible, the same stance as the dedup suite).
+    Rows with a NULL sign (written before the table ever saw a collapse
+    batch) count as live (+1)."""
     cols = [c for c in df.columns if c != SIGN_COL]
+    payload = [c for c in cols if c not in key_cols]
+    sign = F.sum(F.coalesce(F.col(SIGN_COL), F.lit(1))).alias("_s")
+    if not payload:
+        return df.groupBy(*cols).agg(sign).filter(F.col("_s") > 0).drop("_s")
     return (
-        df.groupBy(*cols)
-        .agg(F.sum(SIGN_COL).alias("_s"))
+        df.groupBy(*key_cols, rowhash_xxhash64(*payload).alias("_ph"))
+        .agg(sign, *[F.max(c).alias(c) for c in payload])
         .filter(F.col("_s") > 0)
-        .drop("_s")
+        .select(*cols)
     )

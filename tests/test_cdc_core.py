@@ -136,6 +136,55 @@ def test_collapse_strategy_appends_cancel_rows(spark, tmp_path):
     assert len(rows) == 1 and rows[0].text == "v2"
 
 
+def test_collapse_is_append_only_and_compact_folds_signs(spark, ch, tmp_path):
+    """Per-batch write cost must be O(batch), independent of table size:
+    each collapse commit appends only its cancel+insert rows as delta files
+    (the CollapsingMergeTree protocol — reference adapters/clickhouse.py:
+    93-105 issues plain INSERTs). compact() folds annihilated pairs away."""
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+    hi = ch.agg(F.max("lsn")).first()[0] + 1
+    written = []
+    for i in range(4):
+        b = ch.filter((F.col("lsn") >= i * hi // 4) & (F.col("lsn") < (i + 1) * hi // 4))
+        keys = b.select("conv_id", "turn_idx").distinct().count()
+        r = table.merge_into(b, batch_id=f"c{i}", strategy="collapse")
+        written.append((r.rows_written, keys))
+        # append-only bound: ≤ 1 cancel + 1 insert per distinct batch key —
+        # NOT proportional to the (growing) table
+        assert r.rows_written <= 2 * keys, (i, r.rows_written, keys)
+    # the table grew ~8x over the run; per-batch writes stayed batch-sized
+    m = table._load_manifest()
+    assert all(e.get("delta") for e in m["buckets"].values())
+    live_before = sorted(
+        map(tuple, collapse_live_view(table.read(), ["conv_id", "turn_idx"]).collect())
+    )
+    r = table.compact()
+    assert r.applied
+    m2 = table._load_manifest()
+    assert not any(e.get("delta") for e in m2["buckets"].values())
+    raw = table.read()
+    # folded: survivors only, all +1
+    assert raw.filter(F.col("_sign") != 1).count() == 0
+    live_after = sorted(
+        map(tuple, collapse_live_view(raw, ["conv_id", "turn_idx"]).collect())
+    )
+    assert live_before == live_after
+    # and the folded live state equals the LWW replay of the same stream
+    from data_sync_tool_spark.operators.dedupe import replay_final_state
+
+    expect = sorted(
+        map(tuple, replay_final_state(ch, ["conv_id", "turn_idx"])
+            .select(*[c for c in raw.columns if c not in ("_sign", "_lsn")]).collect())
+    )
+    got = sorted(
+        map(tuple, collapse_live_view(raw.drop("_lsn"), ["conv_id", "turn_idx"])
+            .drop("_sign").collect())
+    )
+    assert got == expect
+
+
 def test_schema_evolution_additive_column(spark, ch, tmp_path):
     table = _mk_table(spark, tmp_path)
     table.merge_into(ch.filter(F.col("lsn") < 300), batch_id="b0")

@@ -103,6 +103,27 @@ def test_incremental_watermark_sync(spark, pipe, sf_small):
     assert mid > 0  # sanity
 
 
+def test_last_watermark_opens_bounded_manifests(spark, pipe, monkeypatch):
+    """Resume on a long-lived table must read O(1) manifests (the watermark
+    map rides every commit), never a lineage scan over all versions."""
+    pipe.run_incremental("incr", watermark=None)
+    lake = pipe.sink_lake()
+    # pile up unrelated commits after the watermark-bearing one
+    one = lake.read().limit(1).withColumn("op", F.lit("upsert")).withColumn(
+        "lsn", F.lit(10_000_000).cast("long")
+    ).drop("_lsn")
+    for i in range(30):
+        lake.merge_into(one.withColumn("lsn", F.lit(10_000_000 + i).cast("long")),
+                        batch_id=f"noise-{i}")
+    opened = []
+    orig = type(lake)._load_manifest
+    monkeypatch.setattr(type(lake), "_load_manifest",
+                        lambda self, v=None: (opened.append(v), orig(self, v))[1])
+    wm = pipe.last_watermark("incr")
+    assert wm is not None
+    assert len(opened) <= 2, f"opened {len(opened)} manifests for one watermark lookup"
+
+
 def test_schema_validation_rejects_unknown_columns(spark, sf_small, tmp_path):
     bad_yaml = YAML.format(sf=sf_small, lake=tmp_path / "lake").replace(
         "o_orderkey, dtype: int", "nonexistent_col, dtype: int", 1
