@@ -66,31 +66,54 @@ _TRACKER_OUT = T.StructType(
         T.StructField("n_changes", T.LongType()),
         T.StructField("max_lsn", T.LongType()),
         T.StructField("max_turn", T.IntegerType()),
+        T.StructField("expired", T.BooleanType()),
     ]
 )
 
 
-def _track(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    n, max_lsn, max_turn = state.get if state.exists else (0, -1, -1)
-    for pdf in pdfs:
-        n += len(pdf)
-        max_lsn = max(max_lsn, int(pdf["lsn"].max()))
-        max_turn = max(max_turn, int(pdf["turn_idx"].max()))
-    state.update((n, max_lsn, max_turn))
-    yield pd.DataFrame(
-        {"conv_id": [conv_id], "n_changes": [n], "max_lsn": [max_lsn], "max_turn": [max_turn]}
-    )
+def _make_track(idle_timeout_ms: int):
+    def _track(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+
+        def row(n, mx, mt, expired):
+            return pd.DataFrame(
+                {"conv_id": [conv_id], "n_changes": [n], "max_lsn": [mx],
+                 "max_turn": [mt], "expired": [expired]}
+            )
+
+        if state.hasTimedOut:
+            # idle conversation: emit its final totals flagged expired, then
+            # DROP the state — without this, state for dead conversations
+            # grows unboundedly on a long-running stream
+            n, max_lsn, max_turn = state.get if state.exists else (0, -1, -1)
+            state.remove()
+            yield row(n, max_lsn, max_turn, True)
+            return
+        n, max_lsn, max_turn = state.get if state.exists else (0, -1, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            max_lsn = max(max_lsn, int(pdf["lsn"].max()))
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n, max_lsn, max_turn))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield row(n, max_lsn, max_turn, False)
+
+    return _track
 
 
-def conversation_state_tracker(stream_df: DataFrame) -> DataFrame:
+def conversation_state_tracker(
+    stream_df: DataFrame, idle_timeout_ms: int = 600_000
+) -> DataFrame:
     """Running per-conversation state across micro-batches (update mode).
     State lives in the streaming state store (checkpointed, resumable);
-    each batch emits the updated totals for the conversations it touched."""
+    each batch emits the updated totals for the conversations it touched.
+    Conversations idle for ``idle_timeout_ms`` of processing time emit one
+    final ``expired=true`` row and their state is removed (re-activity
+    starts fresh) — the state store stays bounded by ACTIVE conversations."""
     return stream_df.groupBy("conv_id").applyInPandasWithState(
-        _track,
+        _make_track(idle_timeout_ms),
         outputStructType=_TRACKER_OUT,
         stateStructType=_TRACKER_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -89,6 +89,31 @@ def test_mor_auto_compaction_in_stream(spark, ch, tmp_path):
     assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
 
 
+def _await_drained(q, timeout_s: float = 240.0) -> None:
+    """Wait until the query has consumed all available data, then stop it.
+
+    ``awaitTermination`` alone is wrong for stateful queries with a
+    processing-time timeout: an availableNow query does NOT terminate — it
+    keeps firing EMPTY micro-batches forever to check state timeouts. Drain
+    = several consecutive zero-input batches with no data pending."""
+    import time as _time
+
+    end = _time.time() + timeout_s
+    idle_polls = 0
+    while _time.time() < end and q.isActive:
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0 and not q.status["isDataAvailable"]:
+            idle_polls += 1
+            if idle_polls >= 3:  # stable-idle: drained, not between batches
+                break
+        else:
+            idle_polls = 0
+        _time.sleep(0.3)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
+
+
 def _run_stream_to_memory(spark, df_fn, src_dir, name, out_mode):
     stream = (
         spark.readStream.schema(CHANGE_STREAM_SCHEMA)
@@ -103,7 +128,7 @@ def _run_stream_to_memory(spark, df_fn, src_dir, name, out_mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -150,3 +175,57 @@ def test_conversation_state_tracker(spark, ch, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_conversation_state_tracker_expires_idle_conversations(spark, tmp_path):
+    """Processing-time expiry: idle conversations emit one expired=true row
+    and their state is REMOVED (a reappearance starts fresh); with a long
+    timeout nothing expires and totals accumulate across batches. Wall-clock
+    selectivity (which conversations count as idle) is inherently timing-
+    dependent, so the two runs pin the deterministic extremes."""
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        # lsn controls chunking (one chunk per lsn): A idle after chunk 0
+        ("A", 1, "user", "a1", None, ts, "insert", 0),
+        ("C", 1, "user", "c1", None, ts, "insert", 0),
+        ("B", 1, "user", "b1", None, ts, "insert", 1),
+        ("C", 2, "user", "c2", None, ts, "insert", 1),
+        ("A", 2, "user", "a2", None, ts, "insert", 2),
+        ("C", 3, "user", "c3", None, ts, "insert", 2),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_STREAM_SCHEMA)
+    d = tmp_path / "log"
+    write_stream_chunks(df, str(d), n_chunks=3)
+
+    def run(name: str, timeout_ms: int):
+        stream = (
+            spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/chunk-*")
+        )
+        q = (
+            conversation_state_tracker(stream, idle_timeout_ms=timeout_ms)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+        return spark.table(name).collect()
+
+    # long timeout: nothing expires, state accumulates across micro-batches
+    kept = run("conv_keep", 3_600_000)
+    assert all(not r.expired for r in kept), kept
+    assert max(r.n_changes for r in kept if r.conv_id == "C") == 3
+    assert max(r.n_changes for r in kept if r.conv_id == "A") == 2
+
+    # tiny timeout: idle state expires between batches — A's totals emit
+    # flagged expired, the state is gone, and A's reappearance (chunk 2)
+    # restarts at n_changes=1 instead of continuing at 2
+    exp = run("conv_expire", 1)
+    a_rows = [r for r in exp if r.conv_id == "A"]
+    assert any(r.expired for r in a_rows), a_rows
+    assert any(not r.expired and r.n_changes == 1 and r.max_turn == 2 for r in a_rows), a_rows
