@@ -17,8 +17,10 @@ declarative form the reference's api.py persists for every stored pipeline:
                case-insensitively (``IN``, ``NOT IN``, ``BETWEEN``, ``LIKE``,
                ``IS NULL``, …).
 - ``order_by``: [{column, direction}]; ``group_by``: [str]; ``limit``: int;
-  ``grouping``: groups|rollup|cube; ``distinct``: bool (Spark-native
-  extensions).
+  ``grouping``: groups|rollup|cube|grouping_sets (with ``grouping_sets``:
+  [[str]] — subsets of group_by); ``having``: [{column, operator, value}]
+  applied post-aggregation over the select aliases; ``distinct``: bool
+  (Spark-native extensions).
 - ``set_ops``: [{op, query}] — Spark-native extension (union | union_all |
                intersect | except), absent from the reference surface.
 """
@@ -97,6 +99,8 @@ def dict_to_query(d: dict[str, Any]) -> Query:
         filters=[_parse_filter(f) for f in d.get("filters", [])],
         group_by=list(d.get("group_by", [])),
         grouping=str(d.get("grouping", "groups")).lower(),
+        grouping_sets=[list(s) for s in d.get("grouping_sets", [])],
+        having=[_parse_filter(f) for f in d.get("having", [])],
         distinct=bool(d.get("distinct", False)),
         order_by=[
             (o["column"], str(o.get("direction", "asc")).lower())

@@ -86,9 +86,15 @@ class Query:
     joins: list[Join] = dc_field(default_factory=list)
     filters: list[Filter] = dc_field(default_factory=list)
     group_by: list[str] = dc_field(default_factory=list)
-    # groups | rollup | cube — subtotal grids over group_by (Spark-native
-    # extension; absent in the reference engine)
+    # groups | rollup | cube | grouping_sets — subtotal grids over group_by
+    # (Spark-native extension; absent in the reference engine)
     grouping: str = "groups"
+    # grouping_sets mode only: each set is a subset of group_by expressions
+    # (ANSI GROUP BY GROUPING SETS ((a,b),(a),()) semantics)
+    grouping_sets: list[list[str]] = dc_field(default_factory=list)
+    # post-aggregation filters over the SELECT output names (ANSI HAVING —
+    # stored-config users of an analytics engine expect it)
+    having: list[Filter] = dc_field(default_factory=list)
     distinct: bool = False  # SELECT DISTINCT
     order_by: list[tuple[str, str]] = dc_field(default_factory=list)  # (expr, asc|desc)
     limit: int | None = None
@@ -193,16 +199,34 @@ def build_dataframe(
         df = df.filter(_filter_condition(flt))
     if query.group_by:
         agg_fields = [f for f in query.select if f.expr not in query.group_by]
-        gb_alias = {g: f"_gb{i}" for i, g in enumerate(query.group_by)}
-        gcols = [F.expr(g).alias(a) for g, a in gb_alias.items()]
-        if query.grouping == "rollup":
-            grouped = df.rollup(*gcols)
-        elif query.grouping == "cube":
-            grouped = df.cube(*gcols)
-        elif query.grouping == "groups":
-            grouped = df.groupBy(*gcols)
+        if query.grouping == "grouping_sets":
+            # Spark's groupingSets matches set entries to grouping columns by
+            # NAME — aliased/duplicated Column objects silently mis-match
+            # (every output group column nulls out), so this mode requires
+            # bare column names and passes them through untouched
+            bad = [g for g in query.group_by if not g.isidentifier()]
+            if bad:
+                raise ValueError(
+                    f"grouping_sets requires bare column names in group_by: {bad}"
+                )
+            missing = [g for s in query.grouping_sets for g in s if g not in query.group_by]
+            if missing:
+                raise ValueError(f"grouping_sets entries must come from group_by: {missing}")
+            gb_alias = {g: g for g in query.group_by}
+            grouped = df.groupingSets(
+                [list(s) for s in query.grouping_sets], *query.group_by
+            )
         else:
-            raise ValueError(f"unknown grouping mode: {query.grouping}")
+            gb_alias = {g: f"_gb{i}" for i, g in enumerate(query.group_by)}
+            gcols = [F.expr(g).alias(a) for g, a in gb_alias.items()]
+            if query.grouping == "rollup":
+                grouped = df.rollup(*gcols)
+            elif query.grouping == "cube":
+                grouped = df.cube(*gcols)
+            elif query.grouping == "groups":
+                grouped = df.groupBy(*gcols)
+            else:
+                raise ValueError(f"unknown grouping mode: {query.grouping}")
         df = grouped.agg(*[_field_column(f) for f in agg_fields])
         # re-project to requested select order/aliases (grouping expressions
         # are referenced via their grouping alias — the base columns are gone)
@@ -215,6 +239,10 @@ def build_dataframe(
         df = df.select(*out_cols)
     else:
         df = df.select(*[_field_column(f) for f in query.select])
+    # HAVING: post-aggregation filter over the projected output names
+    # (applies after the select so aggregate aliases are referencable)
+    for flt in query.having:
+        df = df.filter(_filter_condition(flt))
     if query.distinct:
         df = df.distinct()
     for so in query.set_ops:

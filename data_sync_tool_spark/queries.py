@@ -19,7 +19,13 @@ from pyspark.sql.window import Window
 
 from .functions import text as TX
 from .functions.hashes import rowhash_int32
-from .operators.reconcile import MD5_SUM_HASH, ReconcileConfig, _status_join, block_digest
+from .operators.reconcile import (
+    HASH_MD5_HASH,
+    MD5_SUM_HASH,
+    ReconcileConfig,
+    _status_join,
+    block_digest,
+)
 from .plans.query import Field, Filter, Join, Query, build_dataframe
 from .sources.registry import read_table
 
@@ -373,6 +379,42 @@ ORACLE_RECON_DIGEST = f"""
     SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket,
            count(1) AS num_rows,
            CAST(sum({_dd_rowhash('event_id', 'event_type')}) AS STRING) AS hash
+    FROM events
+    WHERE event_id >= 0 AND event_id < 2000000
+    GROUP BY 1 ORDER BY bucket
+"""
+
+
+_RECON_CFG_ORDERED = ReconcileConfig(
+    partition_column="event_id",
+    partition_column_type="int",
+    strategy=HASH_MD5_HASH,
+    fields=["event_id", "event_type"],
+    order_column="event_id",
+    initial_partition_interval=1000,
+    max_block_size=1000,
+)
+
+
+def q_reconcile_digest_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER-DEPENDENT block digest (reference strategy ``hash_md5_hash``,
+    adapters/postgres.py:73-74: ``md5(string_agg(rowhash, ',' ORDER BY
+    order_column))``) through the same ``block_digest`` reconcile path as the
+    sum digest — hash-verified against DuckDB's string_agg form."""
+    src, _ = _recon_sides(spark, sf_dir)
+    return block_digest(src, _RECON_CFG_ORDERED, 1000, _RECON_LO, _RECON_HI).orderBy("bucket")
+
+
+def _dd_rowhash_md5(*cols: str) -> str:
+    parts = ", ".join(f"coalesce(CAST({c} AS STRING), chr(0))" for c in cols)
+    return f"md5(concat_ws(chr(31), {parts}))"
+
+
+ORACLE_RECON_DIGEST_ORDERED = f"""
+    SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket,
+           count(1) AS num_rows,
+           md5(string_agg({_dd_rowhash_md5('event_id', 'event_type')},
+                          ',' ORDER BY event_id)) AS hash
     FROM events
     WHERE event_id >= 0 AND event_id < 2000000
     GROUP BY 1 ORDER BY bucket
@@ -831,6 +873,74 @@ ORACLE_DISTINCT = """
 """
 
 
+def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the IR (beyond rollup/cube: the set
+    list skips the (linestatus-only) combination a cube would include)."""
+    q = Query(
+        select=[
+            Field("l_returnflag"),
+            Field("l_linestatus"),
+            Field("round(sum(l_extendedprice), 2)", "sum_price"),
+            Field("count(1)", "cnt"),
+        ],
+        table="lineitem",
+        group_by=["l_returnflag", "l_linestatus"],
+        grouping="grouping_sets",
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+    )
+    df = build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+    return df.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("lstat"),
+        "sum_price", "cnt",
+    ).orderBy("rflag", "lstat")
+
+
+ORACLE_GROUPING_SETS = """
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstat,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(1) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rflag, lstat
+"""
+
+
+def q_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING through the IR (and the JSON loader surface): customers whose
+    order totals clear a threshold, filtered POST-aggregation on the select
+    aliases — the ANSI shape stored-config users expect."""
+    from .plans.config_io import dict_to_query
+
+    q = dict_to_query({
+        "select": [
+            {"expr": "o_custkey", "alias": "custkey"},
+            {"expr": "round(sum(o_totalprice), 2)", "alias": "total", "type": "sum"},
+            {"expr": "count(1)", "alias": "n_orders", "type": "count"},
+        ],
+        "tables": [{"table": "orders", "primary": True}],
+        "group_by": ["o_custkey"],
+        "having": [
+            {"column": "total", "operator": ">=", "value": 900000.0},
+            {"column": "n_orders", "operator": ">=", "value": 5},
+        ],
+        "order_by": [{"column": "custkey", "direction": "asc"}],
+    })
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders"]))
+
+
+ORACLE_HAVING = """
+    SELECT o_custkey AS custkey,
+           round(sum(o_totalprice), 2) AS total,
+           count(1) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING round(sum(o_totalprice), 2) >= 900000.0 AND count(1) >= 5
+    ORDER BY custkey
+"""
+
+
 def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations in the IR: UNION (distinct) of two overlapping selects
     (SURVEY §2.5 — Spark-native extension the reference pipelines emulate by
@@ -1102,8 +1212,11 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
         "rollup_pricing": (q_rollup_pricing, ORACLE_ROLLUP),
+        "grouping_sets_pricing": (q_grouping_sets_pricing, ORACLE_GROUPING_SETS),
+        "having_big_customers": (q_having_big_customers, ORACLE_HAVING),
         "distinct_segments": (q_distinct_segments, ORACLE_DISTINCT),
         "reconcile_block_digest": (q_reconcile_digest, ORACLE_RECON_DIGEST),
+        "reconcile_digest_ordered": (q_reconcile_digest_ordered, ORACLE_RECON_DIGEST_ORDERED),
         "reconcile_block_status": (q_reconcile_status, ORACLE_RECON_STATUS),
         "reconcile_diff_timegroups": (
             q_diff_timegroups,
