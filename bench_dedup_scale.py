@@ -1,0 +1,175 @@
+"""Dedup/ANN suite scale evidence: run the pair operators at 1x (sf0.1) and
+10x (deterministically synthesized from sf0.1 — no RNG, no external data) and
+record wall time + candidate/output-pair counts.
+
+What this evidences: the blocked/bucketed joins hold their SUB-QUADRATIC
+shape off the toy scale — a 10x input must grow wall time and candidate
+volume ~linearly (x10-ish), not x100 (all-pairs). Results are written to
+``BENCH/DEDUP_SCALE.md``.
+
+10x synthesis (pure deterministic column expressions):
+- documents: 10 copies per doc, ids shifted by 10M x copy; each copy's text
+  gets a per-copy suffix token so copies are NEAR duplicates of each other
+  (realistic near-dup density: each original yields a 10-clique of near-dups
+  at high thresholds — the worst case for candidate growth, which is exactly
+  what we want to bound).
+- embeddings: 10 copies, ids shifted; each copy jittered per-dimension with
+  a hash-derived deterministic offset (~1e-3) so copies are near- but not
+  exact duplicates.
+
+Usage: python bench_dedup_scale.py [--factor 10] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def scaled_documents(spark, sf_dir: str, factor: int):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if factor == 1:
+        return docs
+    copies = spark.range(factor).select(F.col("id").alias("_c"))
+    return docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("_c") * F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail"), F.col("_c").cast("string")).alias("text"),
+    )
+
+
+def scaled_embeddings(spark, sf_dir: str, factor: int):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    if factor == 1:
+        return emb
+    copies = spark.range(factor).select(F.col("id").alias("_c"))
+    jitter = (
+        F.pmod(
+            F.xxhash64(F.col("vec_id"), F.col("_c"), F.col("d")), F.lit(2001)
+        ) - F.lit(1000)
+    ) / F.lit(1_000_000.0)
+    return (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("_c") * F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, d: x.cast("double")
+                + F.pmod(F.xxhash64(F.col("vec_id"), F.col("_c"), d), F.lit(2001))
+                .cast("double") / F.lit(1_000_000.0) - F.lit(0.001),
+            ).alias("embedding"),
+            F.col("_c"),
+        )
+        .drop("_c")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"))
+    args = ap.parse_args()
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from data_sync_tool_spark.operators.dedup_suite import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from data_sync_tool_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+    from data_sync_tool_spark.session import build_session
+
+    spark = build_session("dedup-scale", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    results: dict[str, dict] = {}
+    for factor in (1, args.factor):
+        tag = f"{factor}x"
+        base = tempfile.mkdtemp(prefix=f"dedup_scale_{factor}_")
+        dpath, epath = f"{base}/docs.parquet", f"{base}/emb.parquet"
+        scaled_documents(spark, args.sf, factor).write.parquet(dpath)
+        scaled_embeddings(spark, args.sf, factor).write.parquet(epath)
+        docs = spark.read.parquet(dpath)
+        emb = spark.read.parquet(epath)
+        n_docs, n_emb = docs.count(), emb.count()
+        queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(10_000_000)) < 32)
+
+        def timed(name, fn):
+            t0 = time.time()
+            n = fn().count()
+            results[tag][name] = {"sec": round(time.time() - t0, 2), "pairs": n}
+            print(f"{tag} {name}: {results[tag][name]}", flush=True)
+
+        results[tag] = {"n_docs": n_docs, "n_emb": n_emb}
+        timed("minhash_lsh_pairs(t=0.5)", lambda: minhash_lsh_pairs(docs, threshold=0.5))
+        timed("simhash_near_pairs(k=3)", lambda: simhash_near_pairs(docs, max_hamming=3))
+        if factor == 1:
+            # ngram_jaccard is the documented EXACT-RECALL path whose
+            # size-band blocking degrades toward quadratic on size-
+            # homogeneous corpora (its own docstring says use minhash at
+            # scale) — scaling IT 10x just measures that caveat for minutes.
+            timed("ngram_jaccard(t=0.9)", lambda: ngram_jaccard_pairs(docs, threshold=0.9))
+        timed("emb_near_dup(t=0.99)", lambda: embedding_near_dup_pairs(emb, threshold=0.99))
+        timed("lsh_topk(32q,k=5)", lambda: lsh_topk(emb, queries, k=5, n_bits=6, n_tables=3))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    lines = [
+        "# Dedup/ANN scale evidence (1x vs %dx, deterministic synthesis)" % args.factor,
+        "",
+        "A sub-quadratic pipeline grows ~linearly in wall time and candidate",
+        "volume when the input grows %dx; an all-pairs pipeline grows %dx." %
+        (args.factor, args.factor ** 2),
+        "",
+        "| operator | 1x sec | 1x pairs | %dx sec | %dx pairs | time ratio |" %
+        (args.factor, args.factor),
+        "|---|---|---|---|---|---|",
+    ]
+    one, big = results["1x"], results[f"{args.factor}x"]
+    for name in one:
+        if not isinstance(one[name], dict):
+            continue
+        if name not in big:
+            lines.append(
+                f"| {name} | {one[name]['sec']} | {one[name]['pairs']} | "
+                f"(omitted: documented exact-recall/quadratic path — "
+                f"minhash is the scale path) | | |"
+            )
+            continue
+        r = round(big[name]["sec"] / max(one[name]["sec"], 1e-9), 1)
+        lines.append(
+            f"| {name} | {one[name]['sec']} | {one[name]['pairs']} | "
+            f"{big[name]['sec']} | {big[name]['pairs']} | {r}x |"
+        )
+    lines += [
+        "",
+        f"Inputs: 1x = {one['n_docs']} docs / {one['n_emb']} vectors; "
+        f"{args.factor}x = {big['n_docs']} docs / {big['n_emb']} vectors.",
+        "",
+        "```json",
+        json.dumps(results),
+        "```",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,32 +170,10 @@ def minhash_lsh_pairs(
     sets for its two re-attach joins — bounded extra scans, zero storage
     footprint, measured at parity with the cached form even at bench scale.
     """
-    rows_per_band = n_hashes // bands
-    ex = exploded_shingles(df, text_col, id_col, shingle_k)
-    # banding aggregate: minhash mins + distinct-shingle count. The explicit
-    # (id, s) dedup makes count(1) the set size; the mins are unaffected.
-    sig = ex.dropDuplicates(["id", "s"]).groupBy("id").agg(
-        *[
-            F.min(_seeded_hash(seed, F.col("s"), "xxhash64")).alias(f"_mh{seed}")
-            for seed in range(n_hashes)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    )
     # the band self-join carries ONLY (id, set-size, band, band-hash) — the
     # full shingle arrays must not ride the ×bands explode nor both shuffle
     # sides; they are re-attached once per side AFTER candidate dedup
-    banded = sig.select(
-        "id", "n",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col(f"_mh{i}") for i in range(b * rows_per_band,
-                                                                 (b + 1) * rows_per_band)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
+    banded, sets = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
     left = banded.select(F.col("id").alias("a"), F.col("n").alias("na"), "band", "bh")
     right = banded.select(F.col("id").alias("b"), F.col("n").alias("nb"), "band", "bh")
     cands = (
@@ -208,10 +186,6 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    # verify sets: the doc's distinct shingle set as int64 hashes — the exact
-    # Jaccard compares longs, not strings (~10x cheaper intersects; 64-bit
-    # collisions are negligible at any realistic shingle-set size)
-    sets = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
     pairs = (
         cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -220,6 +194,108 @@ def minhash_lsh_pairs(
         F.col("jaccard") >= threshold
     ).select("a", "b", "jaccard")
     return out
+
+
+def _banded_minhash(
+    df: DataFrame, text_col: str, id_col: str,
+    n_hashes: int, bands: int, shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sets) building blocks shared by the batch and incremental
+    minhash paths: ``banded`` = (id, n, band, bh) slim band rows, ``sets`` =
+    (id, sh) int64 shingle sets. Deterministic — identical inputs produce
+    identical bands regardless of which path computes them."""
+    rows_per_band = n_hashes // bands
+    ex = exploded_shingles(df, text_col, id_col, shingle_k)
+    sig = ex.dropDuplicates(["id", "s"]).groupBy("id").agg(
+        *[
+            F.min(_seeded_hash(seed, F.col("s"), "xxhash64")).alias(f"_mh{seed}")
+            for seed in range(n_hashes)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    banded = sig.select(
+        "id", "n",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"_mh{i}") for i in range(b * rows_per_band,
+                                                                 (b + 1) * rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    sets = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
+    return banded, sets
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus side of the minhash-LSH pipeline so NEW batches
+    dedupe against a 100-TB corpus WITHOUT rescanning its text: a new crawl
+    joins the stored band index (candidates) and the stored shingle sets
+    (exact-Jaccard verify) — cost O(new batch + candidates), not O(corpus).
+
+    Layout: ``{path}/bands`` = (id, n, band, bh) bucketed into band files;
+    ``{path}/sets`` = (id, sh). ``{path}/meta`` records the hash parameters —
+    an incremental query MUST use the same ones (enforced on read)."""
+    banded, sets = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
+    banded.repartition(F.col("band"), F.col("bh")).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
+    meta = df.sparkSession.createDataFrame(
+        [(n_hashes, bands, shingle_k)], "n_hashes int, bands int, shingle_k int"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(corpus_id, new_id, jaccard) near-duplicates of ``new_docs`` against a
+    PERSISTED corpus index — the incremental dedup path for ingest pipelines
+    (dedupe each new crawl against everything already kept). Hash parameters
+    come from the index's meta, so bands are computed identically to the
+    batch path: the result equals the cross-pair subset of
+    ``minhash_lsh_pairs(corpus ∪ new)`` exactly (pytest-asserted)."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    banded_new, sets_new = _banded_minhash(
+        new_docs, text_col, id_col, meta["n_hashes"], meta["bands"], meta["shingle_k"]
+    )
+    corpus_bands = spark.read.parquet(f"{index_path}/bands")
+    corpus_sets = spark.read.parquet(f"{index_path}/sets")
+    cands = (
+        corpus_bands.select(F.col("id").alias("a"), F.col("n").alias("na"), "band", "bh")
+        .join(
+            banded_new.select(F.col("id").alias("b"), F.col("n").alias("nb"),
+                              "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    pairs = (
+        cands.join(corpus_sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sets_new.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    return pairs.withColumn("jaccard", F.round(_jaccard("sh_a", "sh_b"), 6)).filter(
+        F.col("jaccard") >= threshold
+    ).select(F.col("a").alias("corpus_id"), F.col("b").alias("new_id"), "jaccard")
 
 
 # ----------------------------------------------------------------- simhash

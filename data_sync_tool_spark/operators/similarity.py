@@ -276,6 +276,81 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> None:
+    """Persist an IVF index for build-once / query-many serving — the actual
+    100-TB ANN shape (re-assigning a 10^10-row corpus per query batch is the
+    anti-pattern the in-memory ``ivf_topk`` accepts for one-shot use).
+
+    Layout: ``{path}/lists`` = the assigned corpus parquet PARTITIONED BY
+    list_id (each posting list is its own partition directory, so a probe
+    reads only its lists), with each vector's norm precomputed at write time;
+    ``{path}/centroids`` = the tiny centroid table."""
+    assigned, centroids = ivf_assign(corpus, n_centroids, id_col, vec_col, n_iters)
+    (
+        assigned.select(id_col, vec_col, "list_id", norm(F.col(vec_col)).alias("vnorm"))
+        # cluster rows by list BEFORE partitionBy: without this every task
+        # opens a writer per list (tasks x lists small files)
+        .repartition(max(1, n_centroids // 4), F.col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/lists")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a PERSISTED IVF index: probe selection broadcasts the
+    centroid table, then the posting-list scan reads ONLY the probed
+    ``list_id=`` partitions — static partition pruning via an explicit (and
+    tiny, ≤ n_centroids) probed-list collect, never a full index scan.
+    Bit-identical to ``ivf_topk`` over the same index build (pytest-asserted)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    qc = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    probe_scores = qc.join(F.broadcast(centroids)).select(
+        "query_id", "qv", "qn", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("cs")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("list_id"))
+    probes = (
+        probe_scores.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "qn", "list_id")
+    )
+    probed_lists = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probed_lists)  # partition-pruned scan
+    )
+    cands = probes.join(
+        lists.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                     F.col("vnorm").alias("cn"), "list_id"),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_prenormed(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")), 6).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

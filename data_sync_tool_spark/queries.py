@@ -1140,6 +1140,64 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, n_bits=3, n_tables=6).orderBy("query_id", "neighbor_id")
 
 
+def q_emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / query-many IVF: index persisted to parquet posting lists
+    (partitioned by list), then probed with a partition-pruned scan — the
+    100-TB ANN serving shape. Deterministic: equals ``ivf_topk`` over the
+    same build (pytest-asserted equality)."""
+    import tempfile
+
+    from .operators.similarity import ivf_index_write, ivf_topk_indexed
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="dst_ivf_idx_")
+    ivf_index_write(emb, path, n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk_indexed(spark, path, q, k=5, n_probe=4).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against a PERSISTED corpus index
+    (dedupe each new crawl against everything kept, without rescanning the
+    corpus text). New batch = exact copies of every 13th document under
+    shifted ids: identical normalized text ⇒ identical signatures ⇒ every
+    band matches ⇒ recall is exactly 1.0, so the brute-force text-equality
+    oracle is exact (the threshold excludes any non-identical shingle set:
+    a one-shingle difference in even a 100k-shingle doc is below it)."""
+    import tempfile
+
+    from .operators.dedup_suite import (
+        minhash_index_write,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="dst_mh_idx_")
+    minhash_index_write(docs, path)
+    new = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    return minhash_lsh_pairs_incremental(new, path, threshold=0.99999).orderBy(
+        "corpus_id", "new_id"
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    new AS (
+      SELECT doc_id + 10000000 AS new_id, nt FROM norm WHERE doc_id % 13 = 0
+    )
+    SELECT c.doc_id AS corpus_id, n.new_id, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM norm c JOIN new n ON c.nt = n.nt
+    ORDER BY corpus_id, new_id
+"""
+
+
 def _oracle_session_stats() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -1239,4 +1297,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
         "emb_ivf_topk": (q_emb_ivf_topk, None),
         "emb_lsh_topk": (q_emb_lsh_topk, None),
+        "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, None),
+        "dedup_minhash_incremental": (q_dedup_minhash_incremental, ORACLE_DEDUP_INCREMENTAL),
     }

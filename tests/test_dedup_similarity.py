@@ -310,3 +310,62 @@ def test_similarity_bucket_joins_do_not_carry_vectors(spark, emb):
                     if "ArrayType" in out.apply(k).dataType().toString()
                 ]
                 assert not vec_cols, f"vectors ride the bucket join: {vec_cols}"
+
+
+def test_ivf_indexed_equals_direct_and_prunes_partitions(spark, emb, tmp_path):
+    """Persisted-index IVF returns exactly what the in-memory path returns
+    over the same deterministic build, and the posting-list scan is
+    partition-pruned to the probed lists."""
+    from data_sync_tool_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_centroids=8)
+    q = emb.limit(5)
+    direct = sorted(map(tuple, ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()))
+    indexed_df = ivf_topk_indexed(spark, path, q, k=5, n_probe=3)
+    indexed = sorted(map(tuple, indexed_df.collect()))
+    assert indexed == direct
+    # partition pruning: the plan's parquet scan carries a list_id filter
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and ("PartitionFilters: [" in plan or "isin" in plan.lower())
+
+
+def test_minhash_incremental_index_equals_batch_cross_pairs(spark, docs, tmp_path):
+    """Incremental dedup against a persisted index must equal the cross-pair
+    subset of the batch path over corpus ∪ new — same bands, same verify."""
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.operators.dedup_suite import (
+        minhash_index_write,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    path = str(tmp_path / "mh")
+    minhash_index_write(docs, path)
+    # new batch: one exact copy of doc 0, one near copy of doc 2, one novel
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+            (102, "the quick brown fox jumps over the lazy dog and keeps running far away tonight ok"),
+            (103, "entirely novel text about watermark state store timeouts"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = {
+        (r.corpus_id, r.new_id): r.jaccard
+        for r in minhash_lsh_pairs_incremental(new, path, threshold=0.4).collect()
+    }
+    assert (0, 100) in inc and inc[(0, 100)] == 1.0
+    assert all(new_id != 103 for _c, new_id in inc)
+    # exact equality with the batch path's cross pairs
+    batch = minhash_lsh_pairs(docs.unionByName(new), threshold=0.4)
+    cross = {
+        (r.a, r.b): r.jaccard
+        for r in batch.filter((F.col("a") < 100) & (F.col("b") >= 100)).collect()
+    }
+    assert inc == cross
