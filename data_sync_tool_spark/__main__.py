@@ -48,6 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--continuous", action="store_true",
                     help="keep tailing (processingTime trigger) until SIGTERM/SIGINT")
 
+    ix = sub.add_parser(
+        "index", help="build a persisted dedup/ANN index (build-once / "
+        "query-many) from a parquet table")
+    ix.add_argument("--kind", required=True, choices=["minhash", "ivf"])
+    ix.add_argument("--input", required=True, help="input parquet path")
+    ix.add_argument("--output", required=True, help="index root dir")
+    ix.add_argument("--id-col", default=None)
+    ix.add_argument("--column", default=None, help="text/embedding column")
+    ix.add_argument("--n-centroids", type=int, default=16)
+
     qj = sub.add_parser(
         "query", help="run a stored JSON query config (the reference api.py "
         "persistence form) against a directory of parquet tables")
@@ -61,6 +71,25 @@ def main(argv: list[str] | None = None) -> int:
     from .session import build_session
 
     spark = build_session(f"dst-{args.cmd}")
+
+    if args.cmd == "index":
+        df = spark.read.parquet(args.input)
+        if args.kind == "minhash":
+            from .operators.dedup_suite import minhash_index_write
+
+            minhash_index_write(
+                df, args.output,
+                text_col=args.column or "text", id_col=args.id_col or "doc_id",
+            )
+        else:
+            from .operators.similarity import ivf_index_write
+
+            ivf_index_write(
+                df, args.output, n_centroids=args.n_centroids,
+                id_col=args.id_col or "vec_id", vec_col=args.column or "embedding",
+            )
+        print(json.dumps({"kind": args.kind, "output": args.output, "rows": df.count()}))
+        return 0
 
     if args.cmd == "query":
         import os

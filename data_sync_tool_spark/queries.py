@@ -941,6 +941,45 @@ ORACLE_HAVING = """
 """
 
 
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions THROUGH the stored-config surface: Field.expr is any
+    Spark-SQL expression, so ``... OVER (PARTITION BY ... ORDER BY ...)``
+    works from a persisted JSON config with no IR extension — proven here
+    end-to-end from ``dict_to_query`` with a DuckDB oracle (rank + windowed
+    share per customer)."""
+    from .plans.config_io import dict_to_query
+
+    q = dict_to_query({
+        "select": [
+            {"expr": "o_custkey", "alias": "custkey"},
+            {"expr": "o_orderkey", "alias": "orderkey"},
+            {"expr": "round(o_totalprice / sum(o_totalprice) OVER "
+                     "(PARTITION BY o_custkey), 6)", "alias": "share"},
+            {"expr": "rank() OVER (PARTITION BY o_custkey "
+                     "ORDER BY o_totalprice DESC, o_orderkey)", "alias": "rnk"},
+        ],
+        "tables": [{"table": "orders", "primary": True}],
+        "filters": [{"column": "o_custkey", "operator": "<", "value": 200}],
+        "order_by": [
+            {"column": "custkey", "direction": "asc"},
+            {"column": "orderkey", "direction": "asc"},
+        ],
+    })
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders"]))
+
+
+ORACLE_WINDOW_SHARE = """
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS share,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders WHERE o_custkey < 200
+    ORDER BY custkey, orderkey
+"""
+
+
 def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations in the IR: UNION (distinct) of two overlapping selects
     (SURVEY §2.5 — Spark-native extension the reference pipelines emulate by
@@ -1268,6 +1307,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
         "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
+        "window_share_rank": (q_window_share, ORACLE_WINDOW_SHARE),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
         "rollup_pricing": (q_rollup_pricing, ORACLE_ROLLUP),
         "grouping_sets_pricing": (q_grouping_sets_pricing, ORACLE_GROUPING_SETS),

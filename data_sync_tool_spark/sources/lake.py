@@ -683,6 +683,7 @@ class LakeTable:
         )
         stats: dict[str, Any] = {}
         dirty: list[int] | None = None
+        obs_ops = None
         if need_dirty:
             pre = batch.groupBy("_op", BUCKET_COL).agg(F.count(F.lit(1)).alias("n")).collect()
             dirty = sorted({r[BUCKET_COL] for r in pre})
@@ -692,10 +693,18 @@ class LakeTable:
                     op_counts[r["_op"]] = op_counts.get(r["_op"], 0) + r["n"]
                 stats["op_counts"] = op_counts
         elif self.track_stats:
-            stats["op_counts"] = {
-                r["_op"]: r["n"]
-                for r in batch.groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            # MoR hot path: op counts ride the WRITE job via observe() — a
+            # separate groupBy action would scan the batch twice per commit
+            from pyspark.sql import Observation
+
+            obs_ops = Observation()
+            batch = batch.observe(
+                obs_ops,
+                *[
+                    F.sum((F.col("_op") == F.lit(op)).cast("long")).alias(op)
+                    for op in ("insert", "update", "upsert", "delete")
+                ],
+            )
         if strategy == "collapse":
             return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra, dirty)
         if strategy == "delete_insert":
@@ -738,6 +747,17 @@ class LakeTable:
             data_schema = resolved.drop(BUCKET_COL).schema
 
         rows_written = self._count_rows([f for fs in new.values() for f in fs])
+        if obs_ops is not None:  # the write ran; metrics are now available
+            if rows_written == 0:
+                # empty batch: PropagateEmptyRelation optimizes the metrics
+                # node away and Observation.get would fail — a zero-row MoR
+                # write implies a zero-row batch, so the counts are known
+                stats["op_counts"] = {}
+            else:
+                stats["op_counts"] = {
+                    k: int(v) for k, v in obs_ops.get.items()
+                    if v is not None and int(v) > 0
+                }
         lineage = {
             "batch_id": batch_id,
             "op": f"merge:{strategy}:{self.merge_mode}",

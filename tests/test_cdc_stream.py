@@ -90,6 +90,30 @@ def test_skewed_stream_converges(spark, tmp_path):
     _assert_same(table.read().drop("_lsn"), expect)
 
 
+def test_streaming_collapse_sink_converges(spark, tmp_path):
+    """End-to-end streaming APPEND-ONLY sink: CdcPipeline with the collapse
+    strategy replays the stream as cancel/insert sign-row delta appends; the
+    folded live view equals the LWW final state, before and after compact."""
+    from data_sync_tool_spark.sources.lake import collapse_live_view
+
+    ch = changelog_stream(spark, 2_000, n_convs=50, max_turns=8)
+    d = tmp_path / "cllog"
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    table = LakeTable(spark, str(tmp_path / "tbl"), ["conv_id", "turn_idx"], n_buckets=8,
+                      checksum=False)
+    pipe = CdcPipeline(spark, f"{d}/chunk-*", table, str(tmp_path / "ckpt"), name="cl",
+                       max_files_per_trigger=2, merge_strategy="collapse")
+    pipe.run_available()
+    m = table._load_manifest()
+    assert any(e.get("delta") for e in m["buckets"].values())  # append-only commits
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    live = collapse_live_view(table.read(), ["conv_id", "turn_idx"]).drop("_lsn")
+    _assert_same(live, expect)
+    table.compact()
+    live2 = collapse_live_view(table.read(), ["conv_id", "turn_idx"]).drop("_lsn")
+    _assert_same(live2, expect)
+
+
 def test_datagen_is_deterministic(spark):
     a = changelog_stream(spark, 500, num_partitions=2).collect()
     b = changelog_stream(spark, 500, num_partitions=7).collect()

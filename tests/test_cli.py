@@ -150,3 +150,29 @@ def test_cli_query_json_subcommand(tmp_path):
     rows = [_json.loads(l) for l in lines[:-1]]
     assert len(rows) == 3 and all({"nation", "cnt"} <= set(r) for r in rows)
     assert rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
+
+
+def test_cli_index_subcommand(tmp_path):
+    """`python -m data_sync_tool_spark index --kind minhash` builds a
+    persisted dedup index usable by the incremental path."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = os.environ.copy()
+    env["SPARK_GRAFT_CPUS"] = "4"
+    idx = tmp_path / "mh_idx"
+    out = subprocess.run(
+        [sys.executable, "-m", "data_sync_tool_spark", "index",
+         "--kind", "minhash",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(idx)],
+        capture_output=True, text=True, timeout=240, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    got = _json.loads(lines[-1])
+    assert got["kind"] == "minhash" and got["rows"] > 0
+    assert (idx / "bands").exists() and (idx / "sets").exists() and (idx / "meta").exists()

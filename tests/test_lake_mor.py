@@ -108,3 +108,25 @@ def test_mor_bucket_pruned_read(spark, ch, tmp_path):
     all_rows = mor.read().count()
     per_bucket = sum(mor.read(buckets=[b]).count() for b in range(16))
     assert per_bucket == all_rows
+
+
+def test_mor_merge_stats_ride_the_write_job(spark, tmp_path, monkeypatch):
+    """With track_stats on, the MoR hot path must stay ONE action per commit:
+    op counts ride the write job via observe(), never a second batch scan."""
+    import pyspark.sql.classic.dataframe as d
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4, merge_mode="mor")
+    b = spark.createDataFrame(
+        [("a", "insert", 1), ("b", "insert", 2), ("a", "update", 3), ("c", "delete", 4)],
+        "k string, op string, lsn long",
+    )
+    calls = []
+    orig = d.DataFrame.collect
+    monkeypatch.setattr(
+        d.DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
+    )
+    t.merge_into(b, batch_id="x")
+    assert calls == [], "MoR merge ran a driver collect beyond the write job"
+    assert t.lineage()[-1]["op_counts"] == {"insert": 2, "update": 1, "delete": 1}
