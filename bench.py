@@ -145,11 +145,20 @@ def main() -> None:
         )
         return
 
+    # min-of-N per query: this shared host swings up to 4x minutes apart
+    # (hypervisor neighbors) — a single cold sample records the machine's
+    # mood, not the plan; the min across reps is the standard estimator of
+    # capability under external interference (same policy as the replay reps)
+    query_reps = int(os.environ.get("DST_BENCH_QUERY_REPS", "2"))
     for name, fn in E.queries().items():
         if name == "cdc_merge_replay":
             continue  # covered (bigger) by the headline stream replay
         try:
-            queries[name] = _t(lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+            queries[name] = min(
+                _t(lambda fn=fn: fn(spark, sf_dir).write.format("noop")
+                   .mode("overwrite").save())
+                for _ in range(query_reps)
+            )
         except Exception:  # noqa: BLE001
             queries[name] = -1.0
 
@@ -163,7 +172,8 @@ def main() -> None:
                 "sf": sf_dir,
                 "bench_events": n_events,
                 "events_per_sec": events_per_sec,
-                    "replay_reps": replay_secs,
+                "replay_reps": replay_secs,
+                "query_reps": query_reps,
                 "final_table_rows": final_rows,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
             }

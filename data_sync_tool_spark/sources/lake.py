@@ -838,7 +838,6 @@ class LakeTable:
         target = self.read(buckets=dirty)
         if not target.columns:
             target = batch.drop(BUCKET_COL, "_op").withColumn(SIGN_COL, F.lit(1)).limit(0)
-        live = collapse_live_view(target, self.key_cols) if SIGN_COL in target.columns else target
         op_rank = F.when(F.col("_op") == "delete", 2).otherwise(1)
         latest = (
             batch.groupBy(*self.key_cols)
@@ -848,10 +847,19 @@ class LakeTable:
                     *[F.col(f"w.{c}").alias(c) for c in data_cols if c not in self.key_cols],
                     F.col(f"w.{LSN_COL}").alias(LSN_COL), F.col("w._op").alias("_op"))
         )
-        cancels = (
-            live.join(latest.select(*self.key_cols), on=self.key_cols, how="left_semi")
-            .withColumn(SIGN_COL, F.lit(-1))
+        # cancels only exist for keys IN the batch: restrict the target to
+        # batch keys BEFORE the sign-sum aggregate (per-key grouping commutes
+        # with a key-level semi-join), so the live-view shuffle processes
+        # O(batch-key rows), not O(dirty-bucket rows) — at a 10^10-row table
+        # a batch touching 2% of one bucket's keys must not aggregate the
+        # whole bucket to find its cancels
+        relevant = target.join(latest.select(*self.key_cols),
+                               on=self.key_cols, how="left_semi")
+        live = (
+            collapse_live_view(relevant, self.key_cols)
+            if SIGN_COL in target.columns else relevant
         )
+        cancels = live.withColumn(SIGN_COL, F.lit(-1))
         inserts = (
             latest.filter(F.col("_op") != F.lit("delete")).drop("_op").withColumn(SIGN_COL, F.lit(1))
         )
