@@ -270,7 +270,14 @@ def row_lambda_to_column(df: DataFrame, code: str) -> Column | None:
                 if isinstance(v, ast.Constant) and isinstance(v.value, str):
                     parts.append(F.lit(v.value))
                 elif isinstance(v, ast.FormattedValue) and v.format_spec is None and v.conversion == -1:
-                    parts.append(conv(v.value)[0].cast("string"))
+                    # same rule as str(): Spark's string rendering diverges
+                    # from Python for float ('1.0E20' vs '1e+20'), bool
+                    # ('true' vs 'True') and NULL (concat propagates NULL vs
+                    # Python 'None') — only int/str operands compile natively
+                    c, t = conv(v.value)
+                    if t not in ("int", "str"):
+                        raise _Bail
+                    parts.append(c.cast("string"))
                 else:
                     raise _Bail
             return (F.concat(*parts) if parts else F.lit("")), "str"

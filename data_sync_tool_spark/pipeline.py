@@ -223,15 +223,24 @@ class Pipeline:
         if m is None:
             return None
         wm = m.get("watermarks")
-        if wm is not None:
-            return wm.get(recon_name)
-        for v in range(m.get("version", lake.current_version()) - 1, 0, -1):
-            mv = lake._load_manifest(v)
+        if wm is not None and recon_name in wm:
+            return wm[recon_name]
+        # the carried map lacks this reconciliation (commits made by pre-map
+        # code, or a map written by an upgrade that never saw this recon) —
+        # fall through to the lineage walk instead of masking pre-upgrade
+        # watermarks with None. The walk STARTS at the current version: a
+        # manifest whose own lineage carries the watermark but whose carried
+        # map predates it must not be skipped. One-time O(commits) cost: the
+        # next run_incremental commit re-seeds the carried map and restores
+        # the O(1) fast path above.
+        for v in range(m.get("version", lake.current_version()), 0, -1):
+            mv = m if v == m.get("version") else lake._load_manifest(v)
             if mv is None:  # vacuumed horizon
                 break
             lin = mv.get("lineage", {})
             if lin.get("reconciliation") == recon_name and "watermark" in lin:
                 return lin["watermark"]
-            if mv.get("watermarks") is not None:
-                return mv["watermarks"].get(recon_name)
+            wmv = mv.get("watermarks")
+            if wmv is not None and recon_name in wmv:
+                return wmv[recon_name]
         return None

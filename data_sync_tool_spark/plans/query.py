@@ -204,6 +204,14 @@ def build_dataframe(
             # NAME — aliased/duplicated Column objects silently mis-match
             # (every output group column nulls out), so this mode requires
             # bare column names and passes them through untouched
+            if not query.grouping_sets:
+                # [] would reach df.groupingSets([]) and fail with an opaque
+                # engine error (or a degenerate global aggregate) — reject the
+                # stored-config typo at plan-build time instead
+                raise ValueError(
+                    "grouping='grouping_sets' requires a non-empty grouping_sets "
+                    "list (use [[]] for the single global-aggregate set)"
+                )
             bad = [g for g in query.group_by if not g.isidentifier()]
             if bad:
                 raise ValueError(

@@ -248,3 +248,12 @@ def test_having_and_grouping_sets_round_trip(spark):
             "grouping_sets": [["not_grouped"]],
         })
         build_dataframe(spark, bad, {"t": df})
+
+    # stored-config typo: grouping_sets mode with an EMPTY set list must fail
+    # at plan-build time, not with an opaque engine error
+    with pytest.raises(ValueError, match="non-empty grouping_sets"):
+        empty = dict_to_query({
+            "select": [{"expr": "r"}], "tables": [{"table": "t", "primary": True}],
+            "group_by": ["r"], "grouping": "grouping_sets", "grouping_sets": [],
+        })
+        build_dataframe(spark, empty, {"t": df})

@@ -231,6 +231,10 @@ def test_row_lambda_unsafe_shapes_fall_back(spark):
         # 'true'/NULL/'1.0E20' — must fall back, not silently drift
         "lambda r: str(r['flag'])",
         "lambda r: str(r['b'])",
+        # f-string operands follow the same rule: float/bool interpolation
+        # renders differently in Spark than Python — UDF path only
+        "lambda r: f\"{r['b']}\"",
+        "lambda r: f\"v={r['flag']}\"",
         # branch types disagree (int vs str): Spark would coerce, Python won't
         "lambda r: 'x' if r['flag'] else r['a']",
         # membership across types relies on implicit casts

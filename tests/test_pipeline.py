@@ -124,6 +124,36 @@ def test_last_watermark_opens_bounded_manifests(spark, pipe, monkeypatch):
     assert len(opened) <= 2, f"opened {len(opened)} manifests for one watermark lookup"
 
 
+def test_last_watermark_survives_map_upgrade(spark, pipe):
+    """Manifests written before the carried watermark map (or by an upgrade
+    whose map never saw this recon) must resolve through the lineage walk —
+    starting at the CURRENT manifest's own lineage, and falling through when
+    the map exists but lacks the key (it must not mask older lineage)."""
+    import json
+
+    pipe.run_incremental("incr", watermark=None)
+    lake = pipe.sink_lake()
+    # simulate a pre-upgrade commit: strip the carried map from the
+    # watermark-bearing (current) manifest
+    p = lake._manifest_path(lake.current_version())
+    with open(p) as f:
+        m = json.load(f)
+    assert "watermark" in m["lineage"]
+    del m["watermarks"]
+    with open(p, "w") as f:
+        json.dump(m, f)
+    wm1 = pipe.last_watermark("incr")  # found in the current lineage itself
+    assert wm1 == m["lineage"]["watermark"]
+    # a post-upgrade commit now writes an EMPTY carried map: the lookup must
+    # fall through to the lineage walk, not return None from wm.get()
+    one = lake.read().limit(1).withColumn("op", F.lit("upsert")).withColumn(
+        "lsn", F.lit(99_000_000).cast("long")
+    ).drop("_lsn")
+    lake.merge_into(one, batch_id="post-upgrade")
+    assert lake._load_manifest().get("watermarks") == {}
+    assert pipe.last_watermark("incr") == wm1
+
+
 def test_schema_validation_rejects_unknown_columns(spark, sf_small, tmp_path):
     bad_yaml = YAML.format(sf=sf_small, lake=tmp_path / "lake").replace(
         "o_orderkey, dtype: int", "nonexistent_col, dtype: int", 1
