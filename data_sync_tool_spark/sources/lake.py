@@ -66,8 +66,24 @@ Strategies"):
 - ``upsert``        : last-writer-wins by monotone ``lsn``.
 - ``delete_insert`` : target rows for batch keys removed, then batch inserted
                       (CoW only — needs key-match removal).
-- ``collapse``      : append-only sinks — cancel row (sign=-1) before each
-                      replacing insert (ClickHouse CollapsingMergeTree).
+- ``collapse``      : append-only sinks, DEFERRED-cancel: each batch appends
+                      its latest version per key as ``_sign=+1`` delta rows
+                      (deletes as tombstone-marked version rows) and reads
+                      NOTHING — superseded versions annihilate at read time
+                      (LWW by ``_lsn``) and physically at ``compact()``,
+                      which rewrites survivors as +1 base. This is exactly
+                      ClickHouse VersionedCollapsingMergeTree: versioned +1
+                      inserts collapse by (key, version) at background-merge
+                      time, because synthesizing cancel rows at insert time
+                      costs a point lookup per key — at a 10^10-row table an
+                      O(live-rows) probe per micro-batch (what an eager
+                      cancel emitter must pay). Engine-written collapse
+                      tables therefore never contain ``_sign=-1`` rows;
+                      ``collapse_live_view`` still folds externally-supplied
+                      raw sign data (and is the identity on engine tables).
+                      Caveat: do NOT import a raw cancel-pair (+1/-1) stream
+                      via ``overwrite`` and then merge on top — unannihilated
+                      imported pairs are not LWW-resolvable; fold them first.
 """
 
 from __future__ import annotations
@@ -311,10 +327,13 @@ class LakeTable:
         base_files = self._files(m, buckets, "base")
         delta_files = self._files(m, buckets, "delta")
         df = self._read_files(base_files + delta_files, schema)
-        if delta_files and SIGN_COL not in df.columns:
-            # sign tables never LWW-resolve: the raw cancel/insert rows ARE
-            # the table (the sign sum does the resolution at view time), and
-            # a max-lsn reduce would silently drop cancel rows
+        if delta_files:
+            # LWW by _lsn resolves EVERY delta format, collapse included:
+            # deferred-cancel sign deltas are versioned +1 rows (never -1),
+            # so max-(lsn, deleted-rank) per key is the collapse fold too.
+            # This also makes a strategy switch safe — a table carrying
+            # unresolved MoR upsert deltas that starts receiving collapse
+            # batches resolves all pending versions in one rule.
             df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -440,11 +459,13 @@ class LakeTable:
         recompute: O(table). Used by ``audit_checksum`` only, never per-commit."""
         files = [f for e in m_buckets.values() for k in ("base", "delta") for f in e.get(k, [])]
         df = self._read_files(files, schema)
-        if any(e.get("delta") for e in m_buckets.values()) and SIGN_COL not in df.columns:
-            df = self._resolve_lww(df)
+        if any(e.get("delta") for e in m_buckets.values()):
+            df = self._resolve_lww(df)  # versioned deltas, sign tables included
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if SIGN_COL in df.columns:
+            # folds externally-imported raw sign data; identity on resolved
+            # engine-written collapse tables (all +1, one row per key)
             df = collapse_live_view(df, self.key_cols)
         cols = [c for c in df.columns if c not in _SYSTEM_COLS]
         row = df.select(
@@ -675,10 +696,10 @@ class LakeTable:
             batch = batch.filter(F.col("_op") != F.lit("delete"))
 
         # ONE pre-scan of the batch serves both the op-count lineage stats and
-        # the dirty-bucket list (collapse/delete_insert/CoW need it; MoR
-        # upsert learns its buckets from the write itself) — two separate
+        # the dirty-bucket list (delete_insert/CoW need it; MoR upsert and
+        # collapse learn their buckets from the write itself) — two separate
         # jobs here would scan the batch twice per commit
-        need_dirty = strategy in ("collapse", "delete_insert") or (
+        need_dirty = strategy == "delete_insert" or (
             strategy == "upsert" and self.merge_mode == "cow"
         )
         stats: dict[str, Any] = {}
@@ -693,8 +714,9 @@ class LakeTable:
                     op_counts[r["_op"]] = op_counts.get(r["_op"], 0) + r["n"]
                 stats["op_counts"] = op_counts
         elif self.track_stats:
-            # MoR hot path: op counts ride the WRITE job via observe() — a
-            # separate groupBy action would scan the batch twice per commit
+            # hot paths (MoR upsert, collapse): op counts ride the WRITE job
+            # via observe() — a separate groupBy action would scan the batch
+            # twice per commit
             from pyspark.sql import Observation
 
             obs_ops = Observation()
@@ -706,7 +728,9 @@ class LakeTable:
                 ],
             )
         if strategy == "collapse":
-            return self._merge_collapse(batch, data_cols, batch_id, stats, lineage_extra, dirty)
+            return self._merge_collapse(
+                batch, data_cols, batch_id, stats, lineage_extra, obs_ops
+            )
         if strategy == "delete_insert":
             return self._merge_delete_insert(batch, batch_id, stats, lineage_extra, dirty)
 
@@ -747,17 +771,7 @@ class LakeTable:
             data_schema = resolved.drop(BUCKET_COL).schema
 
         rows_written = self._count_rows([f for fs in new.values() for f in fs])
-        if obs_ops is not None:  # the write ran; metrics are now available
-            if rows_written == 0:
-                # empty batch: PropagateEmptyRelation optimizes the metrics
-                # node away and Observation.get would fail — a zero-row MoR
-                # write implies a zero-row batch, so the counts are known
-                stats["op_counts"] = {}
-            else:
-                stats["op_counts"] = {
-                    k: int(v) for k, v in obs_ops.get.items()
-                    if v is not None and int(v) > 0
-                }
+        self._fill_op_counts(stats, obs_ops, rows_written)
         lineage = {
             "batch_id": batch_id,
             "op": f"merge:{strategy}:{self.merge_mode}",
@@ -768,6 +782,24 @@ class LakeTable:
         }
         v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
+
+    @staticmethod
+    def _fill_op_counts(
+        stats: dict[str, Any], obs_ops, rows_written: int
+    ) -> None:
+        """Read the per-op observe counters after the write job ran. On an
+        empty batch, PropagateEmptyRelation optimizes the metrics node away
+        and ``Observation.get`` would fail — but a zero-row write implies a
+        zero-row batch, so the counts are known without reading it."""
+        if obs_ops is None:
+            return
+        if rows_written == 0:
+            stats["op_counts"] = {}
+        else:
+            stats["op_counts"] = {
+                k: int(v) for k, v in obs_ops.get.items()
+                if v is not None and int(v) > 0
+            }
 
     def _merge_delete_insert(
         self,
@@ -820,24 +852,29 @@ class LakeTable:
         batch_id: str,
         stats: dict[str, Any],
         lineage_extra: dict[str, Any] | None,
-        dirty: list[int],
+        obs_ops,
     ) -> MergeResult:
-        """Collapse: APPEND-ONLY, exactly the CollapsingMergeTree protocol the
-        reference targets for its ClickHouse sink
-        (``/root/reference/adapters/clickhouse.py:93-105``, plain INSERTs):
-        for each incoming change, append a cancel row (_sign=-1) mirroring
-        the live row (if any), then the new row with _sign=+1 (deletes append
-        only the cancel). Readers reconstruct live state by summing signs.
+        """Collapse: APPEND-ONLY with DEFERRED cancels — the batch's latest
+        version per key lands as ``_sign=+1`` DELTA rows (deletes as
+        tombstone-marked version rows) and the target table is NEVER read:
+        per-batch cost is O(batch) in both writes and reads, independent of
+        table size. This is ClickHouse VersionedCollapsingMergeTree (the
+        production form of the CollapsingMergeTree sink the reference
+        targets, ``/root/reference/adapters/clickhouse.py:93-105``): it
+        exists precisely because synthesizing a cancel row at insert time
+        needs the key's current live row — a point lookup per key that
+        becomes an O(live-rows) probe per micro-batch on a hash-bucketed
+        10^10-row table. Instead, superseded versions annihilate
 
-        The cancel+insert rows land as MoR DELTA files — per-batch write cost
-        is O(batch keys), independent of table size (reading the dirty
-        buckets' live view to COMPUTE the cancels is inherent to the
-        protocol; rewriting them was not). Sign rows need no LWW resolve on
-        read — the sign sum does the work — so ``compact()`` folds signs
-        (annihilated pairs vanish) and rewrites the survivors as +1 base."""
-        target = self.read(buckets=dirty)
-        if not target.columns:
-            target = batch.drop(BUCKET_COL, "_op").withColumn(SIGN_COL, F.lit(1)).limit(0)
+        - at READ time: the same LWW-by-``_lsn`` resolver as MoR upsert
+          (``read()``), and
+        - physically at ``compact()``: the fold a CollapsingMergeTree
+          background merge performs — delete-marked keys vanish, survivors
+          rewrite as ``_sign=+1`` base rows.
+
+        Engine-written collapse tables therefore never contain ``-1`` rows;
+        ``collapse_live_view`` remains the fold for externally-supplied raw
+        sign data and is the identity on resolved engine tables."""
         op_rank = F.when(F.col("_op") == "delete", 2).otherwise(1)
         latest = (
             batch.groupBy(*self.key_cols)
@@ -847,38 +884,25 @@ class LakeTable:
                     *[F.col(f"w.{c}").alias(c) for c in data_cols if c not in self.key_cols],
                     F.col(f"w.{LSN_COL}").alias(LSN_COL), F.col("w._op").alias("_op"))
         )
-        # cancels only exist for keys IN the batch: restrict the target to
-        # batch keys BEFORE the sign-sum aggregate (per-key grouping commutes
-        # with a key-level semi-join), so the live-view shuffle processes
-        # O(batch-key rows), not O(dirty-bucket rows) — at a 10^10-row table
-        # a batch touching 2% of one bucket's keys must not aggregate the
-        # whole bucket to find its cancels
-        relevant = target.join(latest.select(*self.key_cols),
-                               on=self.key_cols, how="left_semi")
-        live = (
-            collapse_live_view(relevant, self.key_cols)
-            if SIGN_COL in target.columns else relevant
-        )
-        cancels = live.withColumn(SIGN_COL, F.lit(-1))
-        inserts = (
-            latest.filter(F.col("_op") != F.lit("delete")).drop("_op").withColumn(SIGN_COL, F.lit(1))
-        )
-        appended = (
-            cancels.unionByName(inserts, allowMissingColumns=True)
+        versions = (
+            latest.withColumn(DELETED_COL, F.col("_op") == F.lit("delete"))
+            .drop("_op")
+            .withColumn(SIGN_COL, F.lit(1))
             .withColumn(BUCKET_COL, self._bucket_col())
         )
         # sign tables never have a summable live digest: batch total only
-        new, dig, tot = self._write_snapshot(appended, per_file_digests=False)
+        new, dig, tot = self._write_snapshot(versions, per_file_digests=False)
         m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
         for b, fs in new.items():
             e = self._entry(m, b)
             e["delta"] = e["delta"] + fs
             buckets[b] = e
-        data_schema = appended.drop(BUCKET_COL).schema
+        data_schema = versions.drop(BUCKET_COL).schema
         if m is not None:  # additive schema evolution: union field sets
             data_schema = _merge_schemas(self._schema_of(m), data_schema)
         rows_written = self._count_rows([f for fs in new.values() for f in fs])
+        self._fill_op_counts(stats, obs_ops, rows_written)
         lineage = {
             "batch_id": batch_id, "op": "merge:collapse",
             "touched_buckets": sorted(int(b) for b in new),
@@ -945,7 +969,17 @@ class LakeTable:
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, dirty), schema)
         if SIGN_COL in df.columns:
-            resolved = collapse_live_view(df, self.key_cols).withColumn(SIGN_COL, F.lit(1))
+            # the CollapsingMergeTree background-merge fold: LWW picks each
+            # key's latest version (deltas are versioned +1 rows), delete-
+            # marked winners are PHYSICALLY removed (collapse keeps no
+            # tombstones — the reference's ClickHouse sink contract), and
+            # survivors rewrite as +1 base
+            resolved = self._resolve_lww(df)
+            if DELETED_COL in resolved.columns:
+                resolved = resolved.filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+            resolved = resolved.withColumn(SIGN_COL, F.lit(1))
         else:
             resolved = self._resolve_lww(df)
         resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
@@ -1013,8 +1047,11 @@ class LakeTable:
             return MergeResult(0, batch_id or "rescale", False)
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, None), schema)
-        if any(e.get("delta") for e in m["buckets"].values()) and SIGN_COL not in df.columns:
-            df = self._resolve_lww(df)  # sign rows rebucket raw (no LWW)
+        if any(e.get("delta") for e in m["buckets"].values()):
+            # versioned deltas (collapse included) must resolve before the
+            # all-base rewrite — multiple versions of a key written as base
+            # would never LWW again on read
+            df = self._resolve_lww(df)
         self.n_buckets = n_buckets
         rebucketed = df.withColumn(BUCKET_COL, self._bucket_col())
         new, dig, tot = self._write_snapshot(rebucketed)
