@@ -310,11 +310,19 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         include_deleted: bool = False,
+        key_ranges: list[tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
         manifest IS the file index). In MoR state, base∪delta are LWW-resolved
-        on the fly. Tombstones filtered unless ``include_deleted``."""
+        on the fly. Tombstones filtered unless ``include_deleted``.
+
+        ``key_ranges``: half-open ``[lo, hi)`` ranges over the FIRST key
+        column. Files whose manifest key zone map cannot intersect any range
+        are skipped entirely (conservative: stats-less files always read),
+        then rows are filtered to the ranges. LWW stays correct under
+        pruning: every version of an in-range key lives in a file whose
+        bounds cover that key, so no version is dropped before the resolve."""
         m = self._load_manifest(version)
         if m is None:
             if version is not None and version > 0:
@@ -326,7 +334,24 @@ class LakeTable:
         schema = self._schema_of(m)
         base_files = self._files(m, buckets, "base")
         delta_files = self._files(m, buckets, "delta")
+        if key_ranges:
+            stats = m.get("file_stats", {})
+
+            def may_intersect(f: str) -> bool:
+                st = stats.get(f)
+                if not st or "key_max" not in st:
+                    return True
+                return any(
+                    (hi is None or st["key_min"] < hi)
+                    and (lo is None or st["key_max"] >= lo)
+                    for lo, hi in key_ranges
+                )
+
+            base_files = [f for f in base_files if may_intersect(f)]
+            delta_files = [f for f in delta_files if may_intersect(f)]
         df = self._read_files(base_files + delta_files, schema)
+        if key_ranges and df.columns:
+            df = self._apply_key_ranges(df, key_ranges)
         if delta_files:
             # LWW by _lsn resolves EVERY delta format, collapse included:
             # deferred-cancel sign deltas are versioned +1 rows (never -1),
@@ -338,6 +363,37 @@ class LakeTable:
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return df
+
+    def _apply_key_ranges(
+        self, df: DataFrame, key_ranges: list[tuple[Any, Any]]
+    ) -> DataFrame:
+        """Exact row-level restriction to half-open key ranges. Few ranges
+        compile to an OR chain (codegen-friendly, pushes to the scan); a
+        diff-sized list (reconcile repair of a very drifted table) becomes a
+        broadcast range semi-join instead of a 10k-term expression tree."""
+        key = F.col(self.key_cols[0])
+        bounded = [r for r in key_ranges if r[0] is not None and r[1] is not None]
+        if len(key_ranges) > 128 and len(bounded) == len(key_ranges):
+            rng = self.spark.createDataFrame(
+                bounded, T.StructType([
+                    T.StructField("r_lo", df.schema[self.key_cols[0]].dataType),
+                    T.StructField("r_hi", df.schema[self.key_cols[0]].dataType),
+                ])
+            )
+            return df.join(
+                F.broadcast(rng),
+                on=[(key >= rng["r_lo"]) & (key < rng["r_hi"])],
+                how="left_semi",
+            )
+        cond = None
+        for lo, hi in key_ranges:
+            c = F.lit(True)
+            if lo is not None:
+                c = c & (key >= F.lit(lo))
+            if hi is not None:
+                c = c & (key < F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        return df.filter(cond) if cond is not None else df
 
     # ---------------------------------------------------------------- writes
     def _write_snapshot(
@@ -408,11 +464,26 @@ class LakeTable:
                         F.sum(F.when(F.col(BUCKET_COL) == b, F.col("_rh_obs"))).alias(f"d{b}")
                         for b in range(self.n_buckets)
                     ]
+            key_stats = False
             if want_lsn:
                 # commit-level lsn bounds: every file of this commit gets the
                 # batch's [lsn_min, lsn_max] — a sound (conservative) file-
                 # pruning index for changes_since(); two scalar aggregates
                 aggs += [F.min(LSN_COL).alias("lsn_min"), F.max(LSN_COL).alias("lsn_max")]
+                # key zone map (same trick, same cost): commit-level min/max
+                # of the first key column, JSON-storable types only. Prunes
+                # key-range reads (reconcile repair) when ingest has key
+                # locality — watermark-ordered int keys land each commit's
+                # delta files in a narrow key band. Hash-bucketed random keys
+                # give full-range bounds and prune nothing (inherent to any
+                # zone map); pruning is conservative either way.
+                key = self.key_cols[0]
+                if key in clustered.columns and isinstance(
+                    clustered.schema[key].dataType,
+                    (T.IntegralType, T.FloatType, T.DoubleType, T.StringType),
+                ):
+                    key_stats = True
+                    aggs += [F.min(key).alias("key_min"), F.max(key).alias("key_max")]
             to_write = src.observe(obs, *aggs)
             if want_digests:
                 to_write = to_write.drop("_rh_obs")
@@ -443,6 +514,9 @@ class LakeTable:
             if want_lsn and got.get("lsn_max") is not None:
                 total["lsn_min"] = int(got["lsn_min"])
                 total["lsn_max"] = int(got["lsn_max"])
+                if key_stats and got.get("key_max") is not None:
+                    total["key_min"] = got["key_min"]
+                    total["key_max"] = got["key_max"]
         return out, digests, total or None
 
     @staticmethod
@@ -618,6 +692,9 @@ class LakeTable:
         file_stats = {f: prev_stats[f] for f in live_files if f in prev_stats}
         if batch_total and "lsn_max" in batch_total:
             bounds = {"lsn_min": batch_total["lsn_min"], "lsn_max": batch_total["lsn_max"]}
+            if "key_max" in batch_total:  # key zone map rides the same entry
+                bounds["key_min"] = batch_total["key_min"]
+                bounds["key_max"] = batch_total["key_max"]
             for f in live_files:
                 file_stats.setdefault(f, bounds)
         # incremental-sync watermarks carry forward in EVERY manifest, so

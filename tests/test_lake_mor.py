@@ -130,3 +130,38 @@ def test_mor_merge_stats_ride_the_write_job(spark, tmp_path, monkeypatch):
     t.merge_into(b, batch_id="x")
     assert calls == [], "MoR merge ran a driver collect beyond the write job"
     assert t.lineage()[-1]["op_counts"] == {"insert": 2, "update": 1, "delete": 1}
+
+
+def test_key_zone_maps_prune_range_reads(spark, tmp_path, monkeypatch):
+    """Watermark-ordered ingest (int keys) lands each commit's delta files in
+    a narrow key band; read(key_ranges=...) must open only files whose
+    manifest key zone map intersects a range, and return exactly the
+    filtered rows (LWW-safe: all versions of an in-range key co-locate in
+    kept files)."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4,
+                  merge_mode="mor", checksum=False)
+    for i in range(5):
+        b = spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("insert").alias("op"), F.col("id").alias("lsn"),
+        )
+        t.merge_into(b, batch_id=f"r{i}")
+    m = t._load_manifest()
+    st = m["file_stats"]
+    all_files = t._files(m, None)
+    assert all(f in st and "key_max" in st[f] for f in all_files)
+    opened: list[str] = []
+    orig = LakeTable._read_files
+    monkeypatch.setattr(
+        LakeTable, "_read_files",
+        lambda self, files, schema: (opened.extend(files), orig(self, files, schema))[1],
+    )
+    out = t.read(key_ranges=[(2100, 2200)])
+    assert sorted(r.k for r in out.collect()) == list(range(2100, 2200))
+    # only commit r2's files (keys 2000-2999) qualify: ≤ n_buckets of 20
+    assert 0 < len(opened) <= 4, opened
+    assert len(opened) < len(all_files)
+    # unbounded range degrades gracefully to a full read
+    opened.clear()
+    assert t.read(key_ranges=[(4500, None)]).count() == 500
+    assert len(opened) <= 4

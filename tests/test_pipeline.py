@@ -124,6 +124,56 @@ def test_last_watermark_opens_bounded_manifests(spark, pipe, monkeypatch):
     assert len(opened) <= 2, f"opened {len(opened)} manifests for one watermark lookup"
 
 
+def test_repair_read_uses_key_zone_maps(spark, sf_small, tmp_path, monkeypatch):
+    """When the reconcile partitions on the lake key column (int), the
+    repair-phase sink read passes the divergent block ranges as key_ranges —
+    file-level zone-map pruning (mechanics pytest-pinned at the lake level in
+    test_key_zone_maps_prune_range_reads) — and still converges."""
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        YAML.format(sf=sf_small, lake=tmp_path / "lake").replace(
+            'n_buckets: "8"', 'n_buckets: "8", merge_mode: mor'
+        )
+    )
+    pipe = Pipeline(spark, Config.load(str(cfg_path)), "orders_sync")
+    lake = pipe.sink_lake()
+    src = pipe.source_df()
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    step = (hi - lo) // 4 + 1
+    for i in range(4):  # watermark-ordered bootstrap: narrow key band per commit
+        b = src.filter(
+            (F.col("o_orderkey") >= lo + i * step) & (F.col("o_orderkey") < lo + (i + 1) * step)
+        )
+        lake.merge_into(
+            b.withColumn("op", F.lit("upsert")).withColumn("lsn", F.lit(i + 1).cast("long")),
+            batch_id=f"slice{i}",
+        )
+    # drift ONE slice: wrong totals under a pre-repair lsn
+    drifted = lake.read().filter(
+        (F.col("o_orderkey") >= lo + step) & (F.col("o_orderkey") < lo + 2 * step)
+    ).drop("_lsn").withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    lake.merge_into(
+        drifted.withColumn("op", F.lit("upsert")).withColumn("lsn", F.lit(5).cast("long")),
+        batch_id="drift",
+    )
+    seen_ranges: list = []
+    orig_read = LakeTable.read
+    monkeypatch.setattr(
+        LakeTable, "read",
+        lambda self, *a, **kw: (
+            seen_ranges.append(kw.get("key_ranges")),
+            orig_read(self, *a, **kw),
+        )[1],
+    )
+    out = pipe.run_reconciliation("full", apply=True)
+    assert out["counts"]["M"] > 0
+    assert any(kr for kr in seen_ranges), "repair never passed key_ranges"
+    out2 = pipe.run_reconciliation("full", apply=False)
+    assert out2["counts"]["M"] == 0 and out2["counts"]["A"] == 0 and out2["counts"]["D"] == 0
+
+
 def test_last_watermark_survives_map_upgrade(spark, pipe):
     """Manifests written before the carried watermark map (or by an upgrade
     whose map never saw this recon) must resolve through the lineage walk —
