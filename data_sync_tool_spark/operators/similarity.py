@@ -84,6 +84,11 @@ def _srp_bits(spark, vec_col: str, n_bits: int, dim: int, seed: int) -> F.Column
     ``_srp_weights``); per row only the dot products remain. The zip_with +
     left-fold aggregate structure is unchanged, so results are bit-identical
     to the previous per-row-hash form."""
+    if n_bits == 0:
+        # degenerate single-bucket configuration: every vector shares bucket
+        # 0, so candidates = all pairs — the exhaustive (exact, brute-force-
+        # equivalent) setting used by the oracle-checked contract query
+        return F.lit(0).cast("long")
     v = F.col(vec_col)
     weights = _srp_weights(spark, n_bits, dim, seed)
     bits = []
@@ -110,17 +115,22 @@ def lsh_topk(
     n_bits: int = 8,
     n_tables: int = 2,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same SRP bucket in ANY of ``n_tables``
-    tables; exact cosine re-rank inside candidates.
+    tables; exact cosine re-rank inside candidates. ``n_bits=0`` is the
+    exhaustive configuration (single bucket → all pairs → exactly brute
+    force — the oracle-checkable setting).
 
     Scale shape: the bucket self-join carries ONLY (id, tbl, bucket) — the
     embedding vectors must not ride the ×n_tables explode nor either shuffle
     side (at dim 768 that serializes each vector n_tables× and shuffles it
     twice before pair dedup); they are re-attached once per side AFTER the
     candidate pairs are deduped — the same slimming as
-    ``dedup_suite.minhash_lsh_pairs``."""
-    dim = len(corpus.select(vec_col).first()[0])
+    ``dedup_suite.minhash_lsh_pairs``. Pass ``dim`` (embedding width) to
+    skip the one-row probe job that otherwise infers it."""
+    if dim is None and n_bits > 0:
+        dim = len(corpus.select(vec_col).first()[0])
 
     def bucketed_ids(df: DataFrame, ident: str) -> DataFrame:
         # bucket ids are computed from the vector in the projection, but the
@@ -303,6 +313,37 @@ def ivf_index_write(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append NEW vectors to a persisted IVF index — the incremental
+    maintenance path a corpus pipeline needs (the minhash-incremental twin):
+    the batch is assigned against the STORED centroids and appended into the
+    partitioned posting lists. Cost: one O(batch) assignment pass + one
+    append write; the existing corpus is never rescanned, and probes keep
+    their partition pruning (appended files land inside ``list_id=``
+    directories).
+
+    Centroids are FROZEN at build time — standard IVF practice (FAISS
+    ``add`` after ``train``): retraining on the grown corpus would reassign
+    every existing posting list, i.e. a full rebuild. By construction,
+    append ≡ rebuilding the whole index with the same centroids over
+    corpus ∪ batch (pytest-asserted)."""
+    spark = batch.sparkSession
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    cmat = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    cids = np.asarray([r["list_id"] for r in rows], dtype=np.int64)
+    assigned = batch.withColumn("list_id", _assign_udf(cmat, cids)(F.col(vec_col)))
+    (
+        assigned.select(id_col, vec_col, "list_id", norm(F.col(vec_col)).alias("vnorm"))
+        .repartition(max(1, len(cids) // 4), F.col("list_id"))
+        .write.partitionBy("list_id").mode("append").parquet(f"{path}/lists")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -359,6 +400,7 @@ def embedding_near_dup_pairs(
     n_bits: int = 6,
     n_tables: int = 3,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, cos) embedding near-duplicates: SRP-bucket candidates, exact
     cosine verify at ``threshold``. The embedding-cosine member of the dedup
@@ -366,8 +408,10 @@ def embedding_near_dup_pairs(
 
     Scale shape: bare (id, tbl, bucket) through the ×n_tables explode and
     both sides of the bucket self-join; vectors re-attached once per side
-    after candidate-pair dedup (mirrors ``minhash_lsh_pairs`` / ``lsh_topk``)."""
-    dim = len(df.select(vec_col).first()[0])
+    after candidate-pair dedup (mirrors ``minhash_lsh_pairs`` / ``lsh_topk``).
+    Pass ``dim`` to skip the one-row probe job that otherwise infers it."""
+    if dim is None and n_bits > 0:
+        dim = len(df.select(vec_col).first()[0])
     from .dedup_suite import _ensure_parallelism
 
     base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

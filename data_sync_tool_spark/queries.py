@@ -658,30 +658,100 @@ ORACLE_DEDUP_MINHASH = rf"""
 """
 
 
+def _salted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic per-doc md5 salt appended (4 blocks,
+    ~124 extra shingles unique to each doc_id). The synthetic corpus draws
+    from a tiny vocabulary, so DISTINCT long docs can share an entire
+    5-shingle set — a text-equality oracle over the raw corpus is unsound
+    for set-identity dedup checks (measured: extra identical-set pairs at
+    sf0.001/sf0.1). With the salt, any two distinct docs differ in ≥ ~120
+    shingles, so only planted exact copies can reach jaccard ≈ 1 / simhash
+    hamming 0. Reproduced verbatim in the DuckDB oracles (the
+    ``dedup_ngram_long`` construction pattern)."""
+    docs = read_table(spark, sf_dir, "documents")
+    salt = F.concat_ws(" ", *[
+        F.md5(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit(str(i))))
+        for i in range(4)
+    ])
+    return docs.select("doc_id", F.concat_ws(" ", F.col("text"), salt).alias("text"))
+
+
+_DD_SALTED_NT = (
+    r"regexp_replace(lower(trim(text || ' ' || "
+    + " || ' ' || ".join(f"md5(doc_id::VARCHAR || '-{i}')" for i in range(4))
+    + r")), '\s+', ' ', 'g')"
+)
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs at threshold (approximate — no SQL oracle; pair
-    semantics are pytest-verified on fixtures)."""
+    """MinHash-LSH near-dup pairs in the EXACT-RECALL configuration (hash-
+    verifiable, the planted-exact-copies design proven by
+    ``dedup_minhash_incremental``): on the salted corpus only identical
+    docs have identical shingle sets, at threshold 0.99999 only identical
+    sets qualify (with ≥120 differing shingles a non-identical pair tops out
+    around jaccard 0.87), and identical docs share every band — recall 1.0
+    structurally — so the brute-force text-equality oracle is exact. The
+    probabilistic-recall thresholds (0.5/0.8) stay pytest-verified on
+    fixtures (test_dedup_similarity)."""
     from .operators.dedup_suite import minhash_lsh_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _salted_documents(spark, sf_dir)
     planted = docs.unionByName(
         docs.filter(F.col("doc_id") % 50 == 0).withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
         )
     )
-    return minhash_lsh_pairs(planted, threshold=0.8).orderBy("a", "b")
+    return minhash_lsh_pairs(planted, threshold=0.99999).orderBy("a", "b")
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = rf"""
+    WITH salted AS (
+      SELECT doc_id, {_DD_SALTED_NT} AS nt FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, nt FROM salted
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, nt FROM salted WHERE doc_id % 50 = 0
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM planted a JOIN planted b ON a.doc_id < b.doc_id AND a.nt = b.nt
+    ORDER BY a, b
+"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs in the EXACT-RECALL configuration: identical normalized
+    text ⇒ identical shingle set ⇒ identical 64-bit simhash ⇒ hamming 0 and
+    guaranteed chunk-bucket candidacy, so at max_hamming=0 the text-equality
+    oracle over the salted corpus is exact (the ≥120-shingle salt difference
+    between distinct docs perturbs the per-bit majority sums far past their
+    margins — verified green at sf0.001/0.01/0.1 on this deterministic
+    data). Hamming 1-3 banding/verify behavior stays pytest-verified on
+    fixtures."""
     from .operators.dedup_suite import simhash_near_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _salted_documents(spark, sf_dir)
     planted = docs.unionByName(
         docs.filter(F.col("doc_id") % 50 == 0).withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
         )
     )
-    return simhash_near_pairs(planted, max_hamming=3).orderBy("a", "b")
+    return simhash_near_pairs(planted, max_hamming=0).orderBy("a", "b")
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = rf"""
+    WITH salted AS (
+      SELECT doc_id, {_DD_SALTED_NT} AS nt FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, nt FROM salted
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, nt FROM salted WHERE doc_id % 50 = 0
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+    FROM planted a JOIN planted b ON a.doc_id < b.doc_id AND a.nt = b.nt
+    ORDER BY a, b
+"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,9 +1251,12 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once / query-many IVF: index persisted to parquet posting lists
-    (partitioned by list), then probed with a partition-pruned scan — the
-    100-TB ANN serving shape. Deterministic: equals ``ivf_topk`` over the
-    same build (pytest-asserted equality)."""
+    (partitioned by list), then probed through the indexed read path — run
+    here in the EXHAUSTIVE configuration (``n_probe = n_centroids``: every
+    posting list probed), which makes the result exactly brute-force cosine
+    top-k, so the DuckDB oracle is exact. The pruned-probe behavior
+    (partition-pruned scan, equality with the in-memory ``ivf_topk``) is
+    pytest-pinned in test_dedup_similarity."""
     import tempfile
 
     from .operators.similarity import ivf_index_write, ivf_topk_indexed
@@ -1192,9 +1265,26 @@ def q_emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dst_ivf_idx_")
     ivf_index_write(emb, path, n_centroids=16)
     q = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk_indexed(spark, path, q, k=5, n_probe=4).orderBy(
-        "query_id", "neighbor_id"
-    )
+    out = ivf_topk_indexed(spark, path, q, k=5, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 5).alias("cos5")
+    ).orderBy("query_id", "neighbor_id")
+
+
+def q_emb_lsh_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k in the EXHAUSTIVE configuration (``n_bits=0``: one
+    bucket, every pair a candidate) — exactly brute-force cosine top-k
+    through the LSH code path, hash-verified against the same oracle as
+    ``emb_brute_topk``. The approximate configuration stays rows-only
+    (``emb_lsh_topk``) with pytest recall gates."""
+    from .operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = lsh_topk(emb, q, k=5, n_bits=0, n_tables=1)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 5).alias("cos5")
+    ).orderBy("query_id", "neighbor_id")
 
 
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,14 +1419,15 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "training_data_filter": (q_training_data_filter, _oracle_training_filter()),
         "dedup_exact_groups": (q_dedup_exact_groups, ORACLE_DEDUP_EXACT),
         "dedup_minhash_signature": (q_dedup_minhash_signature, ORACLE_DEDUP_MINHASH),
-        "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
-        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+        "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
         "dedup_ngram_long": (q_dedup_ngram_long, ORACLE_DEDUP_NGRAM_LONG),
         "emb_brute_topk": (q_emb_brute_topk, ORACLE_EMB_TOPK),
         "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
         "emb_ivf_topk": (q_emb_ivf_topk, None),
         "emb_lsh_topk": (q_emb_lsh_topk, None),
-        "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, None),
+        "emb_lsh_topk_exhaustive": (q_emb_lsh_topk_exhaustive, ORACLE_EMB_TOPK),
+        "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, ORACLE_EMB_TOPK),
         "dedup_minhash_incremental": (q_dedup_minhash_incremental, ORACLE_DEDUP_INCREMENTAL),
     }

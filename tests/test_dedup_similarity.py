@@ -334,6 +334,53 @@ def test_ivf_indexed_equals_direct_and_prunes_partitions(spark, emb, tmp_path):
     assert "list_id" in plan and ("PartitionFilters: [" in plan or "isin" in plan.lower())
 
 
+def test_ivf_index_append_equals_rebuild_with_frozen_centroids(spark, emb, tmp_path):
+    """Incremental index maintenance: appending a batch against the stored
+    (frozen) centroids must leave the index identical to rebuilding the
+    posting lists over corpus ∪ batch with those same centroids — and probes
+    must stay partition-pruned over the appended files."""
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_topk_indexed,
+    )
+
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    ivf_index_write(half, path, n_centroids=8)
+    before = spark.read.parquet(f"{path}/lists").count()
+    ivf_index_append(rest, path)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == before + rest.count()  # append, no rewrite
+    # same assignment rule for old and new rows: every vector sits in the
+    # list of its nearest stored centroid — recompute independently
+    from data_sync_tool_spark.functions.vectors import cosine
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    best = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "list_id", cosine(F.col("embedding"), F.col("centroid")).alias("cs"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("list_id"))
+    expect = {
+        (r.vec_id, r.list_id)
+        for r in best.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    got = {(r.vec_id, r.list_id) for r in lists.select("vec_id", "list_id").collect()}
+    assert got == expect
+    # probes over the appended index stay partition-pruned
+    q = emb.limit(3)
+    out_df = ivf_topk_indexed(spark, path, q, k=5, n_probe=3)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and ("PartitionFilters: [" in plan or "isin" in plan.lower())
+    assert out_df.count() > 0
+
+
 def test_minhash_incremental_index_equals_batch_cross_pairs(spark, docs, tmp_path):
     """Incremental dedup against a persisted index must equal the cross-pair
     subset of the batch path over corpus ∪ new — same bands, same verify."""
