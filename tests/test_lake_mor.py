@@ -165,3 +165,40 @@ def test_key_zone_maps_prune_range_reads(spark, tmp_path, monkeypatch):
     opened.clear()
     assert t.read(key_ranges=[(4500, None)]).count() == 500
     assert len(opened) <= 4
+
+
+def test_array_payload_columns_merge_compact_checksum(spark, tmp_path):
+    """A training-data pipeline lands embeddings in the lake: array<float>
+    payload columns must survive MoR merge (LWW struct-max orders arrays
+    lexicographically), compact, deletes, and the incremental checksum
+    (the row digest hashes the array through its canonical string image)."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4, merge_mode="mor")
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 2.0], "doc-1", "insert", 1), (2, [3.0, 4.0], "doc-2", "insert", 2)],
+        "k long, emb array<float>, src string, op string, lsn long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, [9.0, 9.5], "doc-1b", "update", 3), (3, [5.0, 6.0], "doc-3", "insert", 4)],
+        "k long, emb array<float>, src string, op string, lsn long",
+    )
+    t.merge_into(b1, batch_id="b1")
+    t.merge_into(b2, batch_id="b2")
+    got = {r.k: [round(x, 1) for x in r.emb] for r in t.read().collect()}
+    assert got == {1: [9.0, 9.5], 2: [3.0, 4.0], 3: [5.0, 6.0]}
+    r = t.compact()
+    assert r.applied
+    got2 = {r_.k: [round(x, 1) for x in r_.emb] for r_ in t.read().collect()}
+    assert got2 == got
+    chk = t.lineage()[-1]["table_checksum"]
+    assert chk is not None and chk == t.audit_checksum()
+    # delete an array-carrying key; incremental digest stays exact
+    t.merge_into(
+        spark.createDataFrame(
+            [(2, None, None, "delete", 5)],
+            "k long, emb array<float>, src string, op string, lsn long",
+        ),
+        batch_id="d",
+    )
+    t.compact()
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+    assert {r_.k for r_ in t.read().collect()} == {1, 3}
