@@ -70,12 +70,13 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cdc_collapse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapse-strategy replay (ClickHouse CollapsingMergeTree protocol,
-    reference adapters/clickhouse.py:93-105): apply the change stream in
-    lsn-ordered batches as cancel/insert sign rows, reconstruct live state
-    by sign collapse — must equal the LWW final state."""
-    from data_sync_tool_spark.sources.lake import collapse_live_view
-
+    """Collapse-strategy replay (the ClickHouse sink protocol, reference
+    adapters/clickhouse.py:93-105, run as VersionedCollapsingMergeTree):
+    apply the change stream in lsn-ordered batches as append-only +1
+    version rows; superseded versions annihilate at read — the live state
+    must equal the LWW final state. (``read()`` performs the collapse
+    resolution itself; the explicit ``collapse_live_view`` fold is the
+    compact-time/raw-sign-data path, pytest-covered in test_cdc_core.)"""
     ch = changelog(spark, sf_dir)
     table = LakeTable(
         spark, tempfile.mkdtemp(prefix="dst_cl_"), ["conv_id", "turn_idx"], n_buckets=16
@@ -85,8 +86,7 @@ def _q_cdc_collapse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
         table.merge_into(batch, batch_id=f"cl-batch-{i}", strategy="collapse")
-    live = collapse_live_view(table.read(), ["conv_id", "turn_idx"])
-    return live.select(*_FINAL_COLS)
+    return table.read().select(*_FINAL_COLS)
 
 
 def _q_windowed_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,8 +92,9 @@ def test_skewed_stream_converges(spark, tmp_path):
 
 def test_streaming_collapse_sink_converges(spark, tmp_path):
     """End-to-end streaming APPEND-ONLY sink: CdcPipeline with the collapse
-    strategy replays the stream as cancel/insert sign-row delta appends; the
-    folded live view equals the LWW final state, before and after compact."""
+    strategy replays the stream as deferred-cancel version-row delta appends
+    (zero target reads per epoch); the live view equals the LWW final state,
+    before and after compact."""
     from data_sync_tool_spark.sources.lake import collapse_live_view
 
     ch = changelog_stream(spark, 2_000, n_convs=50, max_turns=8)
