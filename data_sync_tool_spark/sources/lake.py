@@ -47,10 +47,13 @@ Checksum design (incremental, never O(table) on the hot path):
   across merge modes / bucket counts / engines) is the SUM of the cached
   per-file digests. That sum is exact precisely when every live file holds
   fully-resolved rows: CoW commits, overwrite, compact, expire, rescale.
-  While MoR delta files are pending (or for collapse tables, whose live set
-  is sign-defined), the commit records ``table_checksum: null`` and the next
-  resolving commit (compact) restores the exact value — still from cached +
-  newly-written file digests only.
+  While MoR delta files are pending (upsert AND collapse — pending version
+  deltas make the live set LWW-defined), the commit records
+  ``table_checksum: null`` and the next resolving commit (compact) restores
+  the exact value — still from cached + newly-written file digests only.
+  Collapse tables participate fully: their post-compact base holds exactly
+  the live rows, and ``overwrite`` rejects raw ±1 sign imports (a cancel
+  pair would double-count in a digest sum instead of annihilating).
 - ``batch_checksum`` rides every commit's lineage regardless (digest of the
   rows the commit wrote — the per-batch lineage contract).
 - ``audit_checksum()`` is the explicit full-recompute op (works in any
@@ -636,9 +639,12 @@ class LakeTable:
         to_compute = [f for f in new_files if f not in fresh_new]
         if stale and not has_delta:  # resolving commit: catch stale files up
             to_compute += stale
-        if has_sign:
-            # collapse tables never have a summable live digest — don't pay
-            # a read-back for per-file digests that can't be used
+        if has_sign and has_delta:
+            # collapse hot path: pending version deltas make the live set
+            # LWW-defined, so per-file digests can't sum yet — don't pay a
+            # read-back for digests that can't be used. Post-compact the
+            # base holds exactly the live rows (overwrite rejects raw sign
+            # imports), and the normal incremental machinery applies.
             to_compute = []
         computed = self._file_digests(to_compute, data_schema)
         for f, d in computed.items():
@@ -665,9 +671,12 @@ class LakeTable:
         fresh = all(
             f in cache and cache[f].get("cols") == cols_key for f in base_files
         )
+        # sign tables included: their base files hold exactly the live rows
+        # (compact folds; overwrite rejects raw sign data), so the per-file
+        # digest sum is exact once no deltas pend
         table_checksum = (
             sum(cache[f]["d"] for f in base_files)
-            if (not has_delta and not has_sign and fresh)
+            if (not has_delta and fresh)
             else None
         )
         return cache, table_checksum, batch_checksum
@@ -722,7 +731,20 @@ class LakeTable:
         return self._commit_manifest(manifest)
 
     def overwrite(self, df: DataFrame, batch_id: str = "overwrite", lsn: int = 0) -> MergeResult:
-        """Full-table replace (initial load). Adds system columns if absent."""
+        """Full-table replace (initial load). Adds system columns if absent.
+
+        Raw sign-carrying data is rejected: unannihilated ``+1/-1`` cancel
+        pairs are not LWW-resolvable and would also break the incremental
+        live-table checksum (a pair double-counts instead of cancelling in
+        the per-file digest sum). Fold external CollapsingMergeTree exports
+        with ``collapse_live_view`` first, then load the live rows — after
+        which every engine-written sign-table base file holds exactly live
+        rows and the checksum machinery treats collapse tables uniformly."""
+        if SIGN_COL in df.columns:
+            raise ValueError(
+                f"overwrite() does not accept raw sign data ({SIGN_COL} column): "
+                "fold it with collapse_live_view(...) and load the live rows"
+            )
         if LSN_COL not in df.columns:
             df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
         if DELETED_COL not in df.columns:

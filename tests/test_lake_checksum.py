@@ -92,15 +92,38 @@ def test_batch_checksum_real_on_schema_mismatch_delta_append(spark, ch, tmp_path
     assert m["lineage"]["batch_checksum"] != 0
 
 
-def test_collapse_records_null_table_checksum_but_audit_works(spark, ch, tmp_path):
+def test_collapse_checksum_null_while_deltas_pend_exact_after_compact(spark, ch, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
-    t.merge_into(_batches(ch, 1)[0], batch_id="b0", strategy="collapse")
-    assert t.lineage()[-1]["table_checksum"] is None  # sign-defined live set
+    b0, b1 = _batches(ch, 2)
+    t.merge_into(b0, batch_id="b0", strategy="collapse")
+    # pending version deltas: live set is LWW-defined → no incremental value
+    assert t.lineage()[-1]["table_checksum"] is None
     assert isinstance(t.audit_checksum(), int)
     # n_buckets persisted through the collapse commit (regression: the inline
     # manifest used to drop it, so a reopened handle fell back to the default)
     t2 = LakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=32)
     assert t2.n_buckets == 4
+    # post-compact the base holds exactly the live rows: the incremental sum
+    # is exact for collapse tables too (round 4 — was permanently null)
+    t.compact()
+    lin = t.lineage()[-1]
+    assert lin["table_checksum"] is not None
+    assert lin["table_checksum"] == t.audit_checksum()
+    # next delta commit → null again; next compact → exact again
+    t.merge_into(b1, batch_id="b1", strategy="collapse")
+    assert t.lineage()[-1]["table_checksum"] is None
+    t.compact()
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+
+
+def test_overwrite_rejects_raw_sign_data(spark, tmp_path):
+    import pytest
+    from data_sync_tool_spark.sources.lake import SIGN_COL
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    raw = spark.createDataFrame([(1, "x", 1), (1, "x", -1)], f"k long, v string, {SIGN_COL} int")
+    with pytest.raises(ValueError, match="raw sign data"):
+        t.overwrite(raw)
 
 
 def test_digest_cache_covers_only_live_files(spark, ch, tmp_path):
