@@ -968,8 +968,11 @@ class LakeTable:
         - at READ time: the same LWW-by-``_lsn`` resolver as MoR upsert
           (``read()``), and
         - physically at ``compact()``: the fold a CollapsingMergeTree
-          background merge performs — delete-marked keys vanish, survivors
-          rewrite as ``_sign=+1`` base rows.
+          background merge performs — superseded versions vanish, survivors
+          rewrite as ``_sign=+1`` base rows. Delete markers persist as
+          tombstones until ``expire_tombstones`` (unlike ClickHouse's
+          physical removal — see ``compact``'s comment: dropping them lets
+          late stale updates resurrect deleted keys).
 
         Engine-written collapse tables therefore never contain ``-1`` rows;
         ``collapse_live_view`` remains the fold for externally-supplied raw
@@ -1049,9 +1052,9 @@ class LakeTable:
         min_delta_files: int = 1,
     ) -> MergeResult:
         """Fold delta files into base for the given (default: all
-        delta-bearing) buckets: read base∪delta, resolve (LWW for upsert
-        tables; sign-sum fold for collapse tables — annihilated cancel/insert
-        pairs vanish, survivors rewrite as +1 rows), rewrite as base.
+        delta-bearing) buckets: read base∪delta, LWW-resolve (for collapse
+        tables this is the version fold — superseded versions vanish,
+        survivors rewrite as +1 rows), rewrite as base.
         The MoR maintenance op — run on a schedule or when delta/base ratio
         crosses a threshold; at cluster scale this is a background job that
         never blocks ingest (it commits a new snapshot like any writer)."""
@@ -1067,20 +1070,19 @@ class LakeTable:
             return MergeResult(m["version"], batch_id or "compact", False)
         schema = self._schema_of(m)
         df = self._read_files(self._files(m, dirty), schema)
+        # ONE resolution rule for every strategy: LWW picks each key's latest
+        # version (collapse deltas are versioned +1 rows — the
+        # CollapsingMergeTree background-merge fold); survivors of a sign
+        # table rewrite as +1 base. Delete markers are RETAINED as tombstones
+        # in all modes (hidden by read, physically removed by
+        # expire_tombstones) — a deliberate strengthening over ClickHouse's
+        # physical removal, which cannot survive out-of-order redelivery:
+        # drop the marker and a late-arriving STALE update resurrects the
+        # deleted key (hypothesis-pinned in
+        # test_any_batching_and_order_converges with a mid-run compact).
+        resolved = self._resolve_lww(df)
         if SIGN_COL in df.columns:
-            # the CollapsingMergeTree background-merge fold: LWW picks each
-            # key's latest version (deltas are versioned +1 rows), delete-
-            # marked winners are PHYSICALLY removed (collapse keeps no
-            # tombstones — the reference's ClickHouse sink contract), and
-            # survivors rewrite as +1 base
-            resolved = self._resolve_lww(df)
-            if DELETED_COL in resolved.columns:
-                resolved = resolved.filter(
-                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-                )
             resolved = resolved.withColumn(SIGN_COL, F.lit(1))
-        else:
-            resolved = self._resolve_lww(df)
         resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
         new, dig, tot = self._write_snapshot(resolved)
         out = dict(m["buckets"])

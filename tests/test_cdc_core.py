@@ -143,7 +143,10 @@ def test_collapse_strategy_appends_version_rows(spark, tmp_path):
     assert len(live) == 1 and live[0].text == "v2"
 
 
-def test_collapse_delete_removes_key_physically_at_compact(spark, tmp_path):
+def test_collapse_delete_tombstones_survive_compact_until_expiry(spark, tmp_path):
+    """Compact folds superseded versions but RETAINS delete markers as
+    tombstones (read hides them): dropping them would let a late stale
+    update resurrect the key. expire_tombstones is the physical GC."""
     table = _mk_table(spark, tmp_path)
     base = spark.createDataFrame(
         [("a", 1, "one", "insert", 1), ("b", 1, "bee", "insert", 2)],
@@ -157,11 +160,26 @@ def test_collapse_delete_removes_key_physically_at_compact(spark, tmp_path):
     table.merge_into(dele, batch_id="d", strategy="collapse")
     assert {r.conv_id for r in table.read().collect()} == {"b"}
     table.compact()
-    # collapse keeps no tombstones: the deleted key is physically gone
     m = table._load_manifest()
     raw = table._read_files(table._files(m, None), table._schema_of(m))
-    assert {r.conv_id for r in raw.collect()} == {"b"}
+    assert {r.conv_id for r in raw.collect()} == {"a", "b"}  # tombstone kept
+    assert {r.conv_id for r in table.read().collect()} == {"b"}  # but hidden
     assert raw.filter(F.col("_sign") != 1).count() == 0
+    # a LATE STALE update (lsn below the delete) must NOT resurrect the key
+    stale = spark.createDataFrame(
+        [("a", 1, "zombie", "update", 2)],
+        "conv_id string, turn_idx int, text string, op string, lsn long",
+    )
+    table.merge_into(stale, batch_id="late", strategy="collapse")
+    assert {r.conv_id for r in table.read().collect()} == {"b"}
+    table.compact()
+    assert {r.conv_id for r in table.read().collect()} == {"b"}
+    # physical removal is the GC's job, once the source retention window
+    # guarantees nothing older can arrive
+    table.expire_tombstones(older_than_lsn=10)
+    m2 = table._load_manifest()
+    raw2 = table._read_files(table._files(m2, None), table._schema_of(m2))
+    assert {r.conv_id for r in raw2.collect()} == {"b"}
 
 
 def test_collapse_after_pending_upsert_deltas_resolves(spark, ch, tmp_path):

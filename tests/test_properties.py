@@ -36,29 +36,38 @@ def _expected():
 
 
 def _assert_converged(table):
-    got = table.read().drop("_lsn")
+    got = table.read().drop("_lsn", "_sign")
     exp = _expected()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     cuts=st.lists(st.integers(1, N_EVENTS - 1), min_size=0, max_size=4, unique=True),
     order_seed=st.randoms(use_true_random=False),
-    mode=st.sampled_from(["cow", "mor"]),
+    mode=st.sampled_from(["cow", "mor", "collapse"]),
+    compact_mid=st.booleans(),
 )
-def test_any_batching_and_order_converges(tmp_path_factory, cuts, order_seed, mode):
+def test_any_batching_and_order_converges(tmp_path_factory, cuts, order_seed, mode,
+                                          compact_mid):
+    """Whatever the batch cuts, delivery order, merge mode — and for the
+    deferred-cancel collapse strategy, with or without a compact landing in
+    the middle of the run — the table converges to the one-pass LWW replay."""
     bounds = sorted({0, N_EVENTS, *cuts})
     batches = list(zip(bounds, bounds[1:]))
     order_seed.shuffle(batches)
+    strategy = "collapse" if mode == "collapse" else "upsert"
     table = LakeTable(
         _spark, str(tmp_path_factory.mktemp("prop") / "t"), ["conv_id", "turn_idx"],
-        n_buckets=4, checksum=False, merge_mode=mode, track_stats=False,
+        n_buckets=4, checksum=False, track_stats=False,
+        merge_mode=mode if mode != "collapse" else "mor",
     )
-    for lo, hi in batches:
+    for i, (lo, hi) in enumerate(batches):
         b = _changes.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-        table.merge_into(b, batch_id=f"{lo}-{hi}")
+        table.merge_into(b, batch_id=f"{lo}-{hi}", strategy=strategy)
+        if compact_mid and i == len(batches) // 2:
+            table.compact()
     _assert_converged(table)
 
 
