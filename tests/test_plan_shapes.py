@@ -173,3 +173,26 @@ def test_fine_ladder_settled_blocks_stay_distributed(spark):
     assert c["N"] + c["M"] == n
     assert len(plan.blocks) < 100
     assert plan.settled_n_blocks >= 99_000
+
+
+def test_key_range_read_pushes_filter_to_scan(spark, tmp_path):
+    """read(key_ranges=...) must combine BOTH pruning layers: manifest key
+    zone maps drop whole files before the plan exists, and the residual
+    range condition reaches the parquet scan as a data filter (row-group
+    statistics pruning) instead of a post-scan Filter node."""
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4,
+                  merge_mode="mor", checksum=False)
+    for i in range(3):
+        b = spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("insert").alias("op"), F.col("id").alias("lsn"),
+        )
+        t.merge_into(b, batch_id=f"r{i}")
+    df = t.read(key_ranges=[(1100, 1200)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "(k#" in scan and ">= 1100" in scan and "< 1200" in scan, scan
+    # zone maps pruned commits r0/r2 before the scan: one commit's files only
+    assert "InMemoryFileIndex(4 paths)" in scan, scan
