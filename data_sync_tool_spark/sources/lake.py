@@ -1057,7 +1057,10 @@ class LakeTable:
         survivors rewrite as +1 rows), rewrite as base.
         The MoR maintenance op — run on a schedule or when delta/base ratio
         crosses a threshold; at cluster scale this is a background job that
-        never blocks ingest (it commits a new snapshot like any writer)."""
+        never blocks ingest (it commits a new snapshot like any writer).
+        Scoping is by BUCKET only: key zone maps deliberately do not apply
+        here — a key-subset rewrite of a bucket would duplicate its base
+        rows across files, so compact always folds whole buckets."""
         m = self._load_manifest()
         if m is None:
             return MergeResult(0, batch_id or "compact", False)
