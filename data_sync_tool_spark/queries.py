@@ -769,6 +769,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(planted, threshold=0.999).orderBy("a", "b")
 
 
+def q_config_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-driven TRANSFORM stage as an oracle-checked query
+    (reference ``engine/transform.py`` + ``core/config.py:17-57`` TMPL /
+    sandboxed-lambda semantics, vectorized): a stored field list mixing a
+    plain column, a ``TMPL(...)`` template (compiled to a JVM concat), two
+    sandboxed row lambdas (native-compiled — the plan carries no EvalPython
+    node, pytest-pinned in test_transform_pipeline_uses_native_path), and
+    dtype casts."""
+    from .config import FieldConfig
+    from .operators.transform import apply_transform
+
+    ev = read_table(spark, sf_dir, "events")
+    fields = [
+        FieldConfig(column="event_id", dtype="int"),
+        FieldConfig(column="value2", source_column="lambda r: r['value'] * 2.0",
+                    dtype="float"),
+        FieldConfig(column="tag", source_column="TMPL({{event_type}}:{{event_id}})"),
+        FieldConfig(column="flag",
+                    source_column="lambda r: 'big' if r['value'] > 500.0 else 'small'"),
+        FieldConfig(column="etype", source_column="event_type", dtype="str"),
+    ]
+    return apply_transform(ev, fields).orderBy("event_id")
+
+
+ORACLE_CONFIG_TRANSFORM = """
+    SELECT CAST(event_id AS BIGINT)                          AS event_id,
+           CAST(value * 2.0 AS DOUBLE)                       AS value2,
+           event_type || ':' || CAST(event_id AS STRING)     AS tag,
+           CASE WHEN value > 500.0 THEN 'big' ELSE 'small' END AS flag,
+           CAST(event_type AS STRING)                        AS etype
+    FROM events ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # JSON pipeline-config → IR → DataFrame, end to end (the reference's stored-
 # config form, apijson.py:52-96 / sqlglot1.py:164-178)
@@ -1396,6 +1430,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
         "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
+        "config_transform_fields": (q_config_transform, ORACLE_CONFIG_TRANSFORM),
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
         "window_share_rank": (q_window_share, ORACLE_WINDOW_SHARE),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
