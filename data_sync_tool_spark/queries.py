@@ -544,6 +544,40 @@ ORACLE_ENRICH = """
 """
 
 
+def q_enrich_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched SERVICE enrichment path (reference per-row HTTP GET,
+    ``engine/enrich.py:14-19``, vectorized to one bulk lookup per Arrow
+    batch via ``mapInPandas``) in the correctness gate: the injected
+    transport is a deterministic pure function (md5 prefix of the rendered
+    key) so DuckDB can mirror the lookup exactly — what the oracle checks is
+    the key templating, batch-dedup lookup, Arrow schema plumbing, and
+    null-free mapping, end to end."""
+    from .config import EnrichmentConfig
+    from .operators.enrich import enrich_with_service
+
+    sup = read_table(spark, sf_dir, "supplier")
+    conf = EnrichmentConfig(
+        name="region_code", type="http",
+        key_template="nation:{{ s_nationkey }}", output_field="region_code",
+    )
+
+    def fetch_batch(keys: list) -> dict:
+        import hashlib
+
+        return {k: hashlib.md5(str(k).encode()).hexdigest()[:8] for k in keys}
+
+    return enrich_with_service(sup, conf, fetch_batch).select(
+        "s_suppkey", "s_nationkey", "region_code"
+    ).orderBy("s_suppkey")
+
+
+ORACLE_ENRICH_SERVICE = """
+    SELECT s_suppkey, s_nationkey,
+           substr(md5('nation:' || CAST(s_nationkey AS STRING)), 1, 8) AS region_code
+    FROM supplier ORDER BY s_suppkey
+"""
+
+
 # nested path extraction at the message edge (engine/transform.py:15 glom /
 # otel.py:95 — JSON payload access)
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1483,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_text_stats": (q_doc_text_stats, ORACLE_DOC_STATS),
         "doc_langid": (q_doc_langid, ORACLE_DOC_LANGID),
         "enrich_customers": (q_enrich_customers, ORACLE_ENRICH),
+        "enrich_service_batched": (q_enrich_service, ORACLE_ENRICH_SERVICE),
         "json_extract_props": (q_json_extract, ORACLE_JSON),
         "conv_session_stats": (q_conv_session_stats, _oracle_session_stats()),
         "training_data_filter": (q_training_data_filter, _oracle_training_filter()),
