@@ -400,7 +400,11 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
     def _write_snapshot(
-        self, df: DataFrame, per_file_digests: bool = True
+        self,
+        df: DataFrame,
+        per_file_digests: bool = True,
+        sort_by_key: bool = False,
+        max_records_per_file: int | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, dict[str, Any]], dict[str, Any] | None]:
         """Write ``df`` (must carry BUCKET_COL) partitioned by bucket under a
         fresh snapshot dir; return (bucket_id → absolute file list,
@@ -425,6 +429,16 @@ class LakeTable:
         # bucket per commit) and the per-batch file count is O(n_buckets),
         # independent of parallelism.
         clustered = df.repartition(self.n_buckets, F.col(BUCKET_COL))
+        if sort_by_key:
+            # key-clustered rewrite (compact/rescale maintenance): sort each
+            # bucket by the first key column so that, combined with
+            # ``max_records_per_file``, every output file covers a TIGHT,
+            # non-overlapping key band — the per-file footer zone maps
+            # harvested after the write then prune key-range reads even for
+            # hash-random keys (where commit-level bounds are always
+            # full-range). Sorting rides the same shuffle's task-side sort,
+            # no extra exchange.
+            clustered = clustered.sortWithinPartitions(BUCKET_COL, self.key_cols[0])
         obs = None
         cols_key = ""
         to_write = clustered
@@ -448,7 +462,7 @@ class LakeTable:
             if want_digests:
                 cols = [c for c in clustered.columns
                         if c not in _SYSTEM_COLS and c != BUCKET_COL]
-                cols_key = ",".join(cols)
+                cols_key = _digest_cols_key(clustered.schema, cols)
                 live_row = (
                     ~F.coalesce(F.col(DELETED_COL), F.lit(False))
                     if DELETED_COL in clustered.columns else F.lit(True)
@@ -490,7 +504,13 @@ class LakeTable:
             to_write = src.observe(obs, *aggs)
             if want_digests:
                 to_write = to_write.drop("_rh_obs")
-        to_write.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
+        writer = to_write.write
+        if max_records_per_file:
+            # split each bucket into bounded files (Spark's writer-side
+            # counter, no extra shuffle); with sort_by_key the splits fall on
+            # key-order boundaries, giving disjoint per-file key ranges
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(BUCKET_COL).mode("errorifexists").parquet(snap)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(snap)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -527,6 +547,49 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def _file_key_stats(self, files: list[str]) -> dict[str, dict[str, Any]]:
+        """Per-file key zone maps harvested from parquet FOOTERS — a
+        metadata-only read (O(files) tiny IOs, no data pages). Returns
+        ``{file: {"key_min": v, "key_max": v}}`` for the first key column.
+
+        Used after key-clustered rewrites, where each file covers a narrow
+        key band, to replace the conservative commit-level bounds in the
+        manifest. Parquet stat truncation (long strings) is pruning-safe by
+        construction: a truncated min is a prefix ≤ the true min and a
+        truncated max has its last byte incremented ≥ the true max, so the
+        recorded interval always CONTAINS the true one. Files whose stats
+        are absent or not JSON-storable (bytes) are skipped — they keep
+        their commit-level entry and are always read (conservative)."""
+        import pyarrow.parquet as pq
+
+        key = self.key_cols[0]
+        out: dict[str, dict[str, Any]] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins: list[Any] = []
+            maxs: list[Any] = []
+            ok = True
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                col = next(
+                    (row_group.column(i) for i in range(row_group.num_columns)
+                     if row_group.column(i).path_in_schema == key),
+                    None,
+                )
+                st = col.statistics if col is not None else None
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                if not (isinstance(st.min, (int, float, str))
+                        and isinstance(st.max, (int, float, str))):
+                    ok = False  # bytes/temporal stats — not JSON-storable
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if ok and mins:
+                out[f] = {"key_min": min(mins), "key_max": max(maxs)}
+        return out
 
     def _table_checksum(self, m_buckets: dict[str, Any], schema: T.StructType) -> int:
         """Order-independent digest of LIVE rows: sum of xxhash64 rowhashes
@@ -606,7 +669,7 @@ class LakeTable:
         catch-up at the next compact, never a per-commit tax.
         """
         data_cols = [f.name for f in data_schema.fields if f.name not in _SYSTEM_COLS]
-        cols_key = ",".join(data_cols)
+        cols_key = _digest_cols_key(data_schema, data_cols)
         prev = self._load_manifest()
         cache_prev: dict[str, Any] = prev.get("file_digests", {}) if prev else {}
         live = self._files({"buckets": buckets}, None)
@@ -689,6 +752,7 @@ class LakeTable:
         lineage: dict[str, Any],
         new_digests: dict[str, dict[str, Any]] | None = None,
         batch_total: dict[str, Any] | None = None,
+        extra_file_stats: dict[str, dict[str, Any]] | None = None,
     ) -> int:
         prev = self._load_manifest()
         recent = [b for b in (prev or {}).get("committed_batch_ids", []) if b != batch_id]
@@ -706,6 +770,13 @@ class LakeTable:
                 bounds["key_max"] = batch_total["key_max"]
             for f in live_files:
                 file_stats.setdefault(f, bounds)
+        # per-file overrides (key-clustered compact footers, rollback
+        # reinstating a prior version's stats) are TIGHTER than the
+        # commit-level bounds — overlay them last, only for live files
+        live_set = set(live_files)
+        for f, st in (extra_file_stats or {}).items():
+            if f in live_set:
+                file_stats[f] = {**file_stats.get(f, {}), **st}
         # incremental-sync watermarks carry forward in EVERY manifest, so
         # resuming a long-lived table reads one JSON file, never a lineage
         # scan over O(commits) versions
@@ -844,22 +915,30 @@ class LakeTable:
             # no pre-read, no dirty-bucket job: the write itself reveals which
             # buckets got deltas (dir listing), so MoR ingest is exactly ONE
             # scan + one shuffle + one write per batch.
+            data_schema = deduped.drop(BUCKET_COL).schema
+            if m is not None:  # additive + type-widening schema evolution
+                data_schema = _merge_schemas(self._schema_of(m), data_schema)
+                deduped = _conform_types(deduped, data_schema)
             new, dig, tot = self._write_snapshot(deduped, per_file_digests=False)
             buckets = dict(m["buckets"]) if m else {}
             for b, fs in new.items():
                 e = self._entry(m, b)
                 e["delta"] = e["delta"] + fs
                 buckets[b] = e
-            data_schema = deduped.drop(BUCKET_COL).schema
-            if m is not None:  # additive schema evolution: union field sets
-                data_schema = _merge_schemas(self._schema_of(m), data_schema)
         else:
             # dirty buckets of the deduped batch == those of the raw batch
             # (LWW only drops rows within a key, never a bucket)
             target = self.read(buckets=dirty, include_deleted=True)
             if not target.columns:
                 target = deduped.drop(BUCKET_COL).limit(0)
-            unioned = target.unionByName(deduped.drop(BUCKET_COL), allowMissingColumns=True)
+            # additive + type-widening evolution, same rules as MoR: both
+            # sides conform to the merged schema so the union never leans on
+            # implicit coercion (and conflicts fail with a clear error)
+            merged = _merge_schemas(target.schema, deduped.drop(BUCKET_COL).schema)
+            unioned = _conform_types(target, merged).unionByName(
+                _conform_types(deduped.drop(BUCKET_COL), merged),
+                allowMissingColumns=True,
+            )
             resolved = self._resolve_lww(unioned).withColumn(BUCKET_COL, self._bucket_col())
             new, dig, tot = self._write_snapshot(resolved)
             buckets = dict(m["buckets"]) if m else {}
@@ -992,17 +1071,18 @@ class LakeTable:
             .withColumn(SIGN_COL, F.lit(1))
             .withColumn(BUCKET_COL, self._bucket_col())
         )
+        m = self._load_manifest()
+        data_schema = versions.drop(BUCKET_COL).schema
+        if m is not None:  # additive + type-widening schema evolution
+            data_schema = _merge_schemas(self._schema_of(m), data_schema)
+            versions = _conform_types(versions, data_schema)
         # sign tables never have a summable live digest: batch total only
         new, dig, tot = self._write_snapshot(versions, per_file_digests=False)
-        m = self._load_manifest()
         buckets = dict(m["buckets"]) if m else {}
         for b, fs in new.items():
             e = self._entry(m, b)
             e["delta"] = e["delta"] + fs
             buckets[b] = e
-        data_schema = versions.drop(BUCKET_COL).schema
-        if m is not None:  # additive schema evolution: union field sets
-            data_schema = _merge_schemas(self._schema_of(m), data_schema)
         rows_written = self._count_rows([f for fs in new.values() for f in fs])
         self._fill_op_counts(stats, obs_ops, rows_written)
         lineage = {
@@ -1050,6 +1130,8 @@ class LakeTable:
         buckets: list[int] | None = None,
         batch_id: str | None = None,
         min_delta_files: int = 1,
+        cluster_by_key: bool = False,
+        max_file_rows: int | None = None,
     ) -> MergeResult:
         """Fold delta files into base for the given (default: all
         delta-bearing) buckets: read base∪delta, LWW-resolve (for collapse
@@ -1060,7 +1142,22 @@ class LakeTable:
         never blocks ingest (it commits a new snapshot like any writer).
         Scoping is by BUCKET only: key zone maps deliberately do not apply
         here — a key-subset rewrite of a bucket would duplicate its base
-        rows across files, so compact always folds whole buckets."""
+        rows across files, so compact always folds whole buckets.
+
+        ``cluster_by_key`` + ``max_file_rows``: sort each bucket by the
+        first key column during the rewrite and split it into bounded files
+        whose PER-FILE key bounds (harvested from parquet footers — a
+        metadata-only read) replace the commit-level zone map in the
+        manifest. This is the Z-order/sort-compaction analogue for a
+        single-key table: key-range reads (reconcile repair,
+        ``read(key_ranges=...)``) then prune to ~(range_width/key_span) of
+        each bucket's files even when keys are hash-random across commits —
+        the one layout commit-level bounds can never prune. Cost: the sort
+        rides the rewrite's existing shuffle (task-side sort, no extra
+        exchange); multi-file buckets forgo the free observe() digests, so
+        with checksum on the new base files are re-read once for their
+        per-file digests (bounded, compact-only — never on the ingest
+        path)."""
         m = self._load_manifest()
         if m is None:
             return MergeResult(0, batch_id or "compact", False)
@@ -1087,17 +1184,22 @@ class LakeTable:
         if SIGN_COL in df.columns:
             resolved = resolved.withColumn(SIGN_COL, F.lit(1))
         resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
-        new, dig, tot = self._write_snapshot(resolved)
+        new, dig, tot = self._write_snapshot(
+            resolved, sort_by_key=cluster_by_key, max_records_per_file=max_file_rows
+        )
         out = dict(m["buckets"])
         for b in dirty:
             out.pop(str(b), None)
         for b, fs in new.items():
             out[b] = {"base": fs, "delta": []}
+        new_files = [f for fs in new.values() for f in fs]
+        key_stats = self._file_key_stats(new_files) if cluster_by_key else None
         bid = batch_id or f"compact-v{m['version']}"
-        rows = self._count_rows([f for fs in new.values() for f in fs])
+        rows = self._count_rows(new_files)
         lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
                    "compacted_buckets": sorted(dirty)}
-        v = self._commit(out, schema, bid, lineage, dig, tot)
+        v = self._commit(out, schema, bid, lineage, dig, tot,
+                         extra_file_stats=key_stats)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     # ------------------------------------------------------------- utilities
@@ -1167,6 +1269,50 @@ class LakeTable:
         v = self._commit(buckets, schema, bid, lineage, dig, tot)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
+    def rollback(self, version: int, batch_id: str | None = None) -> MergeResult:
+        """Reinstate the table state of ``version`` as a NEW commit —
+        Iceberg's ``rollback_to_snapshot``: history only moves forward, the
+        old version's data files are re-referenced verbatim (zero data IO),
+        and every consumer contract survives (``read()`` serves the restored
+        state, ``changes_since``/checksum/lineage see a normal commit). The
+        recovery story for a bad upstream batch: roll back, fix the source,
+        replay — exactly-once manifests dedupe any batch ids that were
+        already applied pre-rollback only if they are still inside the
+        idempotence window, so replay with FRESH batch ids (or widen the
+        window) after rolling back past a committed batch.
+
+        Fails if ``version`` (or any of its files) was vacuumed — time
+        travel and rollback reach exactly as far as ``vacuum(keep_last)``
+        retains. Restores ``n_buckets`` if a rescale happened since. Per-file
+        digests and stats are carried from the target manifest, so the
+        checksum path pays no read-back."""
+        m = self._load_manifest(version)
+        if m is None:
+            raise ValueError(
+                f"version {version} is expired (vacuumed) or unknown; "
+                f"current version is {self.current_version()}"
+            )
+        files = self._files(m, None)
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to version {version}: {len(missing)} of its "
+                f"data files were vacuumed (first: {missing[0]})"
+            )
+        self.n_buckets = int(m.get("n_buckets", self.n_buckets))
+        schema = self._schema_of(m)
+        bid = batch_id or f"rollback-v{version}"
+        lineage = {
+            "batch_id": bid, "op": "rollback", "to_version": version,
+            "rows_written": 0, "files_reinstated": len(files),
+        }
+        v = self._commit(
+            m["buckets"], schema, bid, lineage,
+            new_digests=m.get("file_digests"),
+            extra_file_stats=m.get("file_stats"),
+        )
+        return MergeResult(v, bid, True, rows_written=0)
+
     def vacuum(self, keep_last: int = 1) -> dict[str, int]:
         """Delete data files not referenced by the last ``keep_last``
         manifests, and manifests older than that (Iceberg's
@@ -1208,12 +1354,81 @@ class LakeTable:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
+_INT_RANK: dict[type, int] = {
+    T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4,
+}
+
+
+def _widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Numeric promotion for a column observed under two types (Iceberg's
+    type-evolution rules, plus integer↔fractional → double which Spark's
+    own union coercion applies): int ladder widens to the larger, float →
+    double, decimal widens precision/scale. Returns None when no lossless
+    promotion exists (string vs int, etc.) — callers turn that into a
+    clear schema-evolution error instead of a mid-job parquet cast
+    failure."""
+    if a == b:
+        return a
+    int_a, int_b = type(a) in _INT_RANK, type(b) in _INT_RANK
+    if int_a and int_b:
+        return a if _INT_RANK[type(a)] >= _INT_RANK[type(b)] else b
+    frac = (T.FloatType, T.DoubleType)
+    if (int_a or isinstance(a, frac)) and (int_b or isinstance(b, frac)):
+        return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        integral = max(a.precision - a.scale, b.precision - b.scale)
+        if integral + scale <= 38:
+            return T.DecimalType(integral + scale, scale)
+    return None
+
+
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Additive schema union: old field order, new fields appended."""
+    """Schema evolution union: old field order, new fields appended,
+    numeric type conflicts WIDENED (int→long, float→double, …). The
+    parquet vectorized reader upcasts old narrow files to the widened
+    manifest type on read, so no rewrite is needed; incoming batches are
+    cast to the merged schema before write (``_conform_types``) so new
+    files — and their in-write observe() digests — carry the wide type.
+    Non-widenable conflicts raise immediately at merge time."""
     fields = {f.name: f for f in old.fields}
     for f in new.fields:
-        fields.setdefault(f.name, f)
+        cur = fields.get(f.name)
+        if cur is None:
+            fields[f.name] = f
+        elif cur.dataType != f.dataType:
+            widened = _widen_type(cur.dataType, f.dataType)
+            if widened is None:
+                raise TypeError(
+                    f"incompatible schema evolution for column '{f.name}': "
+                    f"table has {cur.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} (only additive columns and "
+                    "widening numeric promotions are supported)"
+                )
+            fields[f.name] = T.StructField(f.name, widened, True)
     return T.StructType(list(fields.values()))
+
+
+def _conform_types(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast ``df``'s columns to ``schema``'s types where they differ
+    (post-``_merge_schemas`` widening). Column order is left alone."""
+    want = {f.name: f.dataType for f in schema.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    casts = [c for c in df.columns if c in want and have[c] != want[c]]
+    if not casts:
+        return df
+    return df.withColumns({c: F.col(c).cast(want[c]) for c in casts})
+
+
+def _digest_cols_key(schema: T.StructType, cols: list[str]) -> str:
+    """Digest-cache validity key: column names AND types, in digest order.
+    Types matter because the digest hashes each value's STRING image —
+    identical for integer widenings, but a float read back as double can
+    render differently (0.1f → 0.10000000149011612), so a type change must
+    invalidate cached file digests and trigger the existing stale-file
+    catch-up at the next resolving commit."""
+    by = {f.name: f.dataType for f in schema.fields}
+    return ",".join(f"{c}:{by[c].simpleString()}" for c in cols)
 
 
 def collapse_live_view(df: DataFrame, key_cols: list[str]) -> DataFrame:

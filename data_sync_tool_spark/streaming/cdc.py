@@ -166,6 +166,8 @@ class CdcPipeline:
         track_offsets: bool = True,
         compact_every: int | None = None,
         compact_delta_ratio: float | None = None,
+        compact_cluster_by_key: bool = False,
+        compact_max_file_rows: int | None = None,
     ) -> None:
         self.spark = spark
         self.source_glob = source_glob
@@ -184,6 +186,12 @@ class CdcPipeline:
         # bounded without a second scheduler.
         self.compact_every = compact_every
         self.compact_delta_ratio = compact_delta_ratio
+        # key-clustered compaction: sort buckets by key + bounded files +
+        # per-file footer zone maps, so reconcile-repair / key-range reads
+        # prune inside buckets even for hash-random keys (see
+        # LakeTable.compact)
+        self.compact_cluster_by_key = compact_cluster_by_key
+        self.compact_max_file_rows = compact_max_file_rows
         self._applied_since_compact = 0
         self.metrics = CdcMetrics()
 
@@ -243,7 +251,11 @@ class CdcPipeline:
                 and self.table.delta_ratio() >= self.compact_delta_ratio
             )
             if due_count or due_ratio:
-                self.table.compact(batch_id=f"{self.name}:compact:{epoch_id}")
+                self.table.compact(
+                    batch_id=f"{self.name}:compact:{epoch_id}",
+                    cluster_by_key=self.compact_cluster_by_key,
+                    max_file_rows=self.compact_max_file_rows,
+                )
                 self._applied_since_compact = 0
 
     def start(self, processing_time: str = "1 second"):

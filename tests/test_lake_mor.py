@@ -202,3 +202,140 @@ def test_array_payload_columns_merge_compact_checksum(spark, tmp_path):
     t.compact()
     assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
     assert {r_.k for r_ in t.read().collect()} == {1, 3}
+
+
+def test_clustered_compact_prunes_hash_random_keys(spark, tmp_path, monkeypatch):
+    """Hash-random keys defeat commit-level zone maps (every commit spans the
+    full key range). compact(cluster_by_key=True, max_file_rows=...) sorts
+    each bucket by key, splits it into bounded files, and records PER-FILE
+    footer bounds in the manifest — a narrow key-range read must then open
+    only the intersecting slice of each bucket, and the checksum machinery
+    must survive the multi-file buckets (digest read-back fallback)."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4,
+                  merge_mode="mor", checksum=True)
+    # interleave keys across commits: commit i holds keys ≡ i (mod 5), so
+    # every commit's key bounds span ~[i, 9995+i] — commit-level pruning nil
+    for i in range(5):
+        b = spark.range(2000).select(
+            (F.col("id") * 5 + i).alias("k"), (F.col("id") + i).alias("v"),
+            F.lit("insert").alias("op"), (F.col("id") * 5 + i).alias("lsn"),
+        )
+        t.merge_into(b, batch_id=f"r{i}")
+
+    opened: list[str] = []
+    orig = LakeTable._read_files
+    monkeypatch.setattr(
+        LakeTable, "_read_files",
+        lambda self, files, schema: (opened.extend(files), orig(self, files, schema))[1],
+    )
+    # pre-compact: the same narrow range opens every file (no pruning)
+    n_total_pre = len(t._files(t._load_manifest(), None))
+    out = t.read(key_ranges=[(4000, 4400)])
+    assert out.count() == 400
+    assert len(opened) == n_total_pre
+
+    r = t.compact(cluster_by_key=True, max_file_rows=700)
+    assert r.applied
+    m = t._load_manifest()
+    all_files = t._files(m, None)
+    assert len(all_files) > 4, "max_file_rows must split buckets into multiple files"
+    st = m["file_stats"]
+    assert all("key_max" in st[f] for f in all_files)
+    # per-file bounds are tight: within a bucket, files are key-disjoint
+    by_bucket: dict[str, list[tuple[int, int]]] = {}
+    for f in all_files:
+        b = f.split("_bucket=")[1].split("/")[0]
+        by_bucket.setdefault(b, []).append((st[f]["key_min"], st[f]["key_max"]))
+    for b, ranges in by_bucket.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"bucket {b}: overlapping file key ranges"
+
+    opened.clear()
+    out = t.read(key_ranges=[(4000, 4400)])
+    assert sorted(r_.k for r_ in out.collect()) == list(range(4000, 4400))
+    # 400 of 10000 keys → at most one ~700-row file per bucket qualifies
+    assert 0 < len(opened) <= 4, opened
+    assert len(opened) < len(all_files)
+    # checksum integrity across the multi-file compact (read-back fallback)
+    chk = t.lineage()[-1]["table_checksum"]
+    assert chk is not None and chk == t.audit_checksum()
+
+
+def test_rollback_reinstates_version_and_checksum(spark, tmp_path):
+    """rollback(v) = Iceberg rollback_to_snapshot: a forward commit that
+    re-references v's files verbatim. State, schema, checksum, and key
+    zone maps all come back; ingest continues on top; vacuumed versions
+    refuse with a clear error."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4,
+                  merge_mode="mor", checksum=True)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string, op string, lsn long")
+    t.merge_into(mk([(1, "a", "insert", 1), (2, "b", "insert", 2)]), batch_id="b1")
+    t.merge_into(mk([(2, "b2", "update", 3), (3, "c", "insert", 4)]), batch_id="b2")
+    t.compact()  # resolve deltas so the restored version carries a summed checksum
+    v_good = t.current_version()
+    good_state = {(r.k, r.v) for r in t.read().collect()}
+    good_chk = t.audit_checksum()
+    # bad upstream batch lands
+    t.merge_into(mk([(1, "CORRUPT", "update", 5), (4, "junk", "insert", 6)]),
+                 batch_id="bad")
+    assert {(r.k, r.v) for r in t.read().collect()} != good_state
+
+    res = t.rollback(v_good)
+    assert res.applied and t.current_version() > v_good
+    assert {(r.k, r.v) for r in t.read().collect()} == good_state
+    lin = t.lineage()[-1]
+    assert lin["op"] == "rollback" and lin["to_version"] == v_good
+    assert lin["table_checksum"] == good_chk == t.audit_checksum()
+    # history moved forward: ingest continues normally post-rollback
+    t.merge_into(mk([(5, "e", "insert", 7)]), batch_id="b3")
+    assert {(r.k, r.v) for r in t.read().collect()} == good_state | {(5, "e")}
+    # time travel to the pre-rollback bad state still works (audit trail)
+    assert (1, "CORRUPT") in {(r.k, r.v) for r in t.read(version=v_good + 1).collect()}
+    # vacuum expires old versions; rollback past the horizon refuses
+    t.compact()
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.rollback(v_good)
+
+
+def test_type_widening_schema_evolution(spark, tmp_path):
+    """A producer widens a column mid-stream (int→long, float→double —
+    Iceberg type evolution). Old narrow files upcast at read via the
+    parquet reader; new batches are cast to the merged schema before
+    write; the digest cache keys on (name:type) so the float→double image
+    change invalidates stale digests and the next compact catches them up
+    (incremental checksum == full audit). Narrow batches landing on an
+    already-wide table stay wide. Non-widenable conflicts fail fast."""
+    for mode in ("mor", "cow"):
+        t = LakeTable(spark, str(tmp_path / mode), ["k"], n_buckets=2,
+                      merge_mode=mode, checksum=True)
+        t.merge_into(
+            spark.createDataFrame([(1, 10, 0.5, "a", "insert", 1)],
+                                  "k long, n int, score float, v string, op string, lsn long"),
+            batch_id="narrow")
+        # widened batch: a long beyond int32 and a double beyond float precision
+        t.merge_into(
+            spark.createDataFrame([(2, 2**40, 0.1, "b", "insert", 2)],
+                                  "k long, n long, score double, v string, op string, lsn long"),
+            batch_id="wide")
+        sch = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+        assert sch["n"] == "bigint" and sch["score"] == "double", sch
+        got = {r.k: (r.n, round(r.score, 9)) for r in t.read().collect()}
+        assert got == {1: (10, 0.5), 2: (2**40, 0.1)}
+        # narrow batch on the widened table: schema stays wide, value upcast
+        t.merge_into(
+            spark.createDataFrame([(3, 7, 1.5, "c", "insert", 3)],
+                                  "k long, n int, score float, v string, op string, lsn long"),
+            batch_id="narrow2")
+        assert {f.name: f.dataType.simpleString() for f in t.read().schema.fields} == sch
+        t.compact()
+        assert t.read().count() == 3
+        chk = t.lineage()[-1]["table_checksum"]
+        assert chk is not None and chk == t.audit_checksum(), mode
+        # non-widenable conflict: clear error at merge time
+        with pytest.raises(TypeError, match="schema evolution.*'n'"):
+            t.merge_into(
+                spark.createDataFrame([(4, "oops", "insert", 4)],
+                                      "k long, n string, op string, lsn long"),
+                batch_id="bad")
