@@ -901,6 +901,47 @@ ORACLE_JSON_CONFIG = """
 """
 
 
+ORACLE_ASOF_ATTRIBUTION = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       p.purchase_value AS purchase_value, s.signup_event_id AS signup_event_id
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY event_id
+"""
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal attribution: each purchase event joined as-of to the SAME
+    user's latest signup at-or-before it (DuckDB ``ASOF LEFT JOIN`` with
+    ``>=`` is the oracle). The Spark side is ``operators.temporal.asof_join``
+    — a union + per-key window carry-forward: ONE shuffle on user_id,
+    linear per-partition merge, no candidate cross-product. The right side
+    is pre-aggregated per (user_id, ts) so tie resolution is deterministic
+    on both engines."""
+    from .operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(purchases, signups, on="ts", by=["user_id"],
+                    value_cols=["signup_event_id"])
+    return out.select("event_id", "user_id", "purchase_value",
+                      "signup_event_id").orderBy("event_id")
+
+
 def q_right_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right and full-outer joins through the IR, with genuinely unmatched
     rows on BOTH sides (filtered CTEs), null-safe aggregation on top."""
@@ -1468,6 +1509,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),
         "window_share_rank": (q_window_share, ORACLE_WINDOW_SHARE),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
+        "asof_attribution": (q_asof_attribution, ORACLE_ASOF_ATTRIBUTION),
         "rollup_pricing": (q_rollup_pricing, ORACLE_ROLLUP),
         "grouping_sets_pricing": (q_grouping_sets_pricing, ORACLE_GROUPING_SETS),
         "having_big_customers": (q_having_big_customers, ORACLE_HAVING),
