@@ -901,6 +901,43 @@ ORACLE_JSON_CONFIG = """
 """
 
 
+ORACLE_EVENT_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(1) AS n_events,
+       max(ts) AS session_last,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (30-min inactivity gap) per user over the
+    events table. Spark side: ONE session_window aggregate
+    (``streaming/windows.sessionize`` — the same function runs on a
+    watermarked stream); oracle: the SQL gaps-and-islands formulation
+    (lag → break flags → cumulative session ids → group)."""
+    from .streaming.windows import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, "ts", ["user_id"], gap="30 minutes", agg_value="value"
+    ).orderBy("user_id", "session_start")
+
+
 ORACLE_ASOF_ATTRIBUTION = """
 WITH purchases AS (
   SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
@@ -1510,6 +1547,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "window_share_rank": (q_window_share, ORACLE_WINDOW_SHARE),
         "right_full_join": (q_right_full_join, ORACLE_RIGHT_FULL),
         "asof_attribution": (q_asof_attribution, ORACLE_ASOF_ATTRIBUTION),
+        "event_sessions": (q_event_sessions, ORACLE_EVENT_SESSIONS),
         "rollup_pricing": (q_rollup_pricing, ORACLE_ROLLUP),
         "grouping_sets_pricing": (q_grouping_sets_pricing, ORACLE_GROUPING_SETS),
         "having_big_customers": (q_having_big_customers, ORACLE_HAVING),

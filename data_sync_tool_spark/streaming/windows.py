@@ -9,6 +9,9 @@ The reference has NO streaming engine — NATS fetch is bounded batch
   and emit exactly once in append mode (the late/out-of-order data story for
   dashboard-style rollups; the MERGE path needs none of this because LWW by
   LSN is order-free).
+- ``sessionize`` : event-time SESSION windows (inactivity gap) — one
+  function for batch and watermarked streams; oracle-checked against the
+  SQL gaps-and-islands formulation (contract query ``event_sessions``).
 - ``conversation_state_tracker`` : ``applyInPandasWithState`` — arbitrary
   per-conversation running state (turn count, lsn high-water, last activity)
   maintained across micro-batches in the state store, with processing-time
@@ -49,6 +52,50 @@ def windowed_turn_counts(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             "conv_id", "n_changes", "n_deletes", "lsn_min", "lsn_max",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    agg_value: str | None = None,
+) -> DataFrame:
+    """Event-time SESSION windows per key (``F.session_window``): events of
+    the same key belong to one session while each is ≤ ``gap`` after the
+    previous; a gap > ``gap`` starts a new session (Spark merges sessions
+    whose [start, last+gap] ranges touch, so the boundary is INCLUSIVE —
+    the oracle's island break is ``diff > gap``). Works identically on a
+    batch DataFrame and on a stream (pass ``watermark`` — session windows
+    need one to close in append mode, Spark merges partial sessions across
+    micro-batches in the state store).
+
+    Output per session: key cols, ``session_start`` (first event ts),
+    ``n_events``, ``session_last`` (last event ts), plus
+    ``session_value = round(sum(agg_value), 2)`` when given. Equivalent to
+    the classic SQL gaps-and-islands (lag + cumulative break sum) — which
+    is exactly the DuckDB oracle for the ``event_sessions`` contract
+    query — but expressed as ONE shuffle-and-merge aggregate instead of
+    two stacked window passes."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(ts_col).alias("session_last"),
+    ]
+    if agg_value:
+        aggs.append(F.round(F.sum(agg_value), 2).alias("session_value"))
+    return (
+        src.groupBy(*key_cols, F.session_window(ts_col, gap).alias("sess"))
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+            "session_last",
+            *(["session_value"] if agg_value else []),
         )
     )
 

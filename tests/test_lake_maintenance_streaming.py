@@ -14,6 +14,7 @@ from data_sync_tool_spark.sources.lake import LakeTable
 from data_sync_tool_spark.streaming.cdc import CHANGE_STREAM_SCHEMA, CdcPipeline
 from data_sync_tool_spark.streaming.windows import (
     conversation_state_tracker,
+    sessionize,
     windowed_turn_counts,
 )
 
@@ -152,6 +153,50 @@ def test_windowed_turn_counts_matches_batch(spark, ch, tmp_path):
     assert g, "no windows emitted"
     assert all(e[k] == v for k, v in g.items())
     assert len(g) >= len(e) * 0.8
+
+
+def test_sessionize_stream_matches_batch(spark, ch, tmp_path):
+    """The SAME sessionize() runs batch and streaming: on a chunked stream
+    with a watermark, every session emitted in append mode (closed sessions
+    only — Spark merges partial sessions across micro-batches in the state
+    store) must equal the batch ground truth over the full data."""
+    d = tmp_path / "log"
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    got = _run_stream_to_memory(
+        spark,
+        lambda s: sessionize(s, "ts", ["conv_id"], gap="1 minute",
+                             watermark="2 minutes"),
+        str(d), "sessions", "append",
+    )
+    expect = sessionize(ch, "ts", ["conv_id"], gap="1 minute")
+    g = {(r.conv_id, r.session_start): (r.n_events, r.session_last)
+         for r in got.collect()}
+    e = {(r.conv_id, r.session_start): (r.n_events, r.session_last)
+         for r in expect.collect()}
+    assert g, "no sessions emitted"
+    assert all(e[k] == v for k, v in g.items())
+    assert len(g) >= len(e) * 0.5  # tail sessions stay open past the last watermark
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """Pin the exact boundary rule the DuckDB oracle encodes: Spark merges
+    sessions whose [start, last+gap] ranges touch, so an event EXACTLY gap
+    after the previous EXTENDS the session; one microsecond beyond starts a
+    new one (oracle break: diff > gap)."""
+    rows = [
+        ("a", "2024-01-01 00:30:00.000001"),   # > gap → new session
+        ("a", "2024-01-01 00:00:00"),
+        ("b", "2024-01-01 00:00:00"),
+        ("b", "2024-01-01 00:30:00"),          # == gap → same session
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = sessionize(df, "ts", ["k"], gap="30 minutes")
+    counts = {}
+    for r in out.collect():
+        counts.setdefault(r.k, []).append(r.n_events)
+    assert sorted(counts["a"]) == [1, 1]
+    assert counts["b"] == [2]
 
 
 def test_conversation_state_tracker(spark, ch, tmp_path):
