@@ -58,6 +58,20 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--column", default=None, help="text/embedding column")
     ix.add_argument("--n-centroids", type=int, default=16)
 
+    rb = sub.add_parser(
+        "rollback", help="reinstate a prior table version as a new commit "
+        "(Iceberg rollback_to_snapshot: zero data IO, history moves forward)")
+    rb.add_argument("--table", required=True, help="lake table path")
+    rb.add_argument("--keys", required=True, help="comma-separated key columns")
+    rb.add_argument("--version", type=int, required=True)
+
+    hi = sub.add_parser(
+        "history", help="print the table's commit lineage (DESCRIBE HISTORY)")
+    hi.add_argument("--table", required=True, help="lake table path")
+    hi.add_argument("--keys", required=True, help="comma-separated key columns")
+    hi.add_argument("--last", type=int, default=20,
+                    help="only the N most recent commits (bounded manifest reads)")
+
     qj = sub.add_parser(
         "query", help="run a stored JSON query config (the reference api.py "
         "persistence form) against a directory of parquet tables")
@@ -68,9 +82,30 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "history":
+        # manifest-only: no Spark session, instant on a laptop or driver
+        from .sources.lake import LakeTable
+
+        for rec in LakeTable(None, args.table, args.keys.split(",")).lineage(
+            last=args.last
+        ):
+            print(json.dumps(rec, default=str))
+        return 0
+
     from .session import build_session
 
     spark = build_session(f"dst-{args.cmd}")
+
+    if args.cmd == "rollback":
+        from .sources.lake import LakeTable
+
+        table = LakeTable(spark, args.table, args.keys.split(","))
+        res = table.rollback(args.version)
+        print(json.dumps({
+            "rolled_back_to": args.version, "new_version": res.version,
+            "batch_id": res.batch_id,
+        }))
+        return 0
 
     if args.cmd == "index":
         df = spark.read.parquet(args.input)

@@ -176,3 +176,39 @@ def test_cli_index_subcommand(tmp_path):
     got = _json.loads(lines[-1])
     assert got["kind"] == "minhash" and got["rows"] > 0
     assert (idx / "bands").exists() and (idx / "sets").exists() and (idx / "meta").exists()
+
+
+@pytest.mark.slow
+def test_cli_history_and_rollback(tmp_path, spark):
+    """`history` prints lineage with no Spark session; `rollback` reinstates
+    a prior version and the restored state is served to readers."""
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, ["k"], n_buckets=4)
+    good = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit("insert").alias("op"), F.lit(1).alias("lsn"))
+    t.merge_into(good, batch_id="good")
+    bad = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"),
+        F.lit("update").alias("op"), F.lit(2).alias("lsn"))
+    t.merge_into(bad, batch_id="bad")
+
+    env = os.environ | {"PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "4"}
+    hist = subprocess.run(
+        [sys.executable, "-m", "data_sync_tool_spark", "history",
+         "--table", path, "--keys", "k", "--last", "10"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert hist.returncode == 0, hist.stderr[-2000:]
+    recs = [json.loads(l) for l in hist.stdout.strip().splitlines()]
+    assert [r["batch_id"] for r in recs] == ["good", "bad"]
+
+    got = _run("rollback", "--table", path, "--keys", "k", "--version", "1")
+    assert got == {"rolled_back_to": 1, "new_version": 3,
+                   "batch_id": "rollback-v1"}
+    restored = LakeTable(spark, path, ["k"])
+    assert restored.read().agg(F.min("v")).first()[0] == 0  # bad batch undone

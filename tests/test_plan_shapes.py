@@ -175,6 +175,28 @@ def test_fine_ladder_settled_blocks_stay_distributed(spark):
     assert plan.settled_n_blocks >= 99_000
 
 
+def test_asof_join_is_single_shuffle_no_join_node(spark):
+    """asof_join's scale contract: a union + ONE window shuffle on the key —
+    never a join-node candidate blow-up (a range-join formulation
+    materializes every (left, right-before) pair per key before reducing)."""
+    from data_sync_tool_spark.operators.temporal import asof_join
+
+    left = spark.range(10_000).select(
+        (F.col("id") % 50).cast("string").alias("uid"),
+        F.col("id").alias("ts"), F.lit("l").alias("tag"),
+    )
+    right = spark.range(1_000).select(
+        (F.col("id") % 50).cast("string").alias("uid"),
+        (F.col("id") * 7).alias("ts"), F.lit("v").alias("val"),
+    )
+    plan = _plan(asof_join(left, right, on="ts", by=["uid"]))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert node not in plan, node
+    assert plan.count("Exchange hashpartitioning") == 1  # the window shuffle
+    assert "Window" in plan
+
+
 def test_key_range_read_pushes_filter_to_scan(spark, tmp_path):
     """read(key_ranges=...) must combine BOTH pruning layers: manifest key
     zone maps drop whole files before the plan exists, and the residual
