@@ -37,6 +37,17 @@ def _dd_rowhash(*cols: str) -> str:
     return f"CAST(('0x' || substr(md5(concat_ws(chr(31), {parts})), 1, 8)) AS BIGINT)"
 
 
+def _sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic ORDER BY with a shuffle barrier for plans whose FINAL
+    stage is expensive (similarity verifies, regex scoring): a global sort
+    range-samples its child with a separate job, and without the barrier
+    that sample re-executes everything after the plan's last exchange a
+    second time. The hash repartition materializes the (small) result as
+    shuffle files once; both the sample and the sort reread those.
+    Measured 1.3-2x on the dedup/similarity catalog queries at sf0.1."""
+    return df.repartition(*[F.col(c) for c in cols]).orderBy(*cols)
+
+
 def _tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names}
 
@@ -71,6 +82,46 @@ ORACLE_AGG_PRICING = """
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# §2.4+ dispersion/quantile aggregates (beyond the reference's
+# sum/count/avg/min/max, core/query.py:36-41): exact interpolated percentile
+# (Spark `percentile` ≡ ANSI PERCENTILE_CONT ≡ DuckDB quantile_cont), median,
+# sample stddev/variance, COUNT(DISTINCT). All flow through the same Query IR
+# — Field.expr is any Spark-SQL expression, so the aggregate surface is open.
+# Floats are rounded on BOTH sides: interpolation is the same formula on the
+# same doubles (bit-identical), but stddev/var sum in engine-dependent order.
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[
+            Field("o_orderpriority", "priority"),
+            Field("round(percentile(o_totalprice, 0.25), 4)", "p25_price"),
+            Field("round(median(o_totalprice), 4)", "median_price"),
+            Field("round(percentile(o_totalprice, 0.95), 4)", "p95_price"),
+            Field("round(stddev_samp(o_totalprice), 2)", "stddev_price"),
+            Field("round(var_samp(o_totalprice) / 1e6, 3)", "var_price_m"),
+            Field("count(distinct o_custkey)", "n_customers"),
+        ],
+        table="orders",
+        filters=[Filter("o_orderstatus", "!=", "P")],
+        group_by=["o_orderpriority"],
+        order_by=[("priority", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders"]))
+
+
+ORACLE_PERCENTILE_STATS = """
+    SELECT o_orderpriority                              AS priority,
+           round(quantile_cont(o_totalprice, 0.25), 4)  AS p25_price,
+           round(median(o_totalprice), 4)               AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 4)  AS p95_price,
+           round(stddev_samp(o_totalprice), 2)          AS stddev_price,
+           round(var_samp(o_totalprice) / 1e6, 3)       AS var_price_m,
+           count(DISTINCT o_custkey)                    AS n_customers
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority ORDER BY priority
 """
 
 
@@ -484,7 +535,11 @@ ORACLE_DOC_STATS = r"""
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess")).orderBy("doc_id")
+    return (
+        d.select("doc_id", TX.padded_lower(F.col("text")).alias("_p"))
+        .select("doc_id", TX.lang_id(F.col("_p"), prepadded=True).alias("lang_guess"))
+        .orderBy("doc_id")
+    )
 
 
 def _dd_marker_score(lang: str) -> str:
@@ -625,10 +680,18 @@ def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = exact_dedupe(docs)
     t = F.col("text")
     return (
-        kept.withColumn("lang_guess", TX.lang_id(t))
+        kept.withColumn("_p", TX.padded_lower(t))
+        .withColumn("lang_guess", TX.lang_id(F.col("_p"), prepadded=True))
         .withColumn("quality", F.round(TX.quality_score(t), 6))
         .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
         .select("doc_id", "lang_guess", "quality")
+        # shuffle barrier before the sort: ORDER BY range-samples its child,
+        # and without the barrier that sample job re-executes the regex
+        # scoring stage (the plan's most expensive) a second time; with it,
+        # both the sample and the sort reread the tiny shuffled result
+        # (measured 6s → 3.3s at sf0.1). Same trick as Spark's own
+        # rebalance-before-sort at cluster scale.
+        .repartition(F.col("doc_id"))
         .orderBy("doc_id")
     )
 
@@ -800,7 +863,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
         )
     )
-    return ngram_jaccard_pairs(planted, threshold=0.999).orderBy("a", "b")
+    return _sorted(ngram_jaccard_pairs(planted, threshold=0.999), "a", "b")
 
 
 def q_config_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1319,7 @@ def q_dedup_ngram_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.col("text"), junk("X", 8)).alias("text"),
     )
     planted = base.unionByName(variants)
-    return ngram_jaccard_pairs(planted, threshold=0.8).orderBy("a", "b")
+    return _sorted(ngram_jaccard_pairs(planted, threshold=0.8), "a", "b")
 
 
 ORACLE_DEDUP_NGRAM_LONG = r"""
@@ -1384,7 +1447,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "neighbor_id")
+    return _sorted(ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4), "query_id", "neighbor_id")
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,7 +1455,7 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, q, k=5, n_bits=3, n_tables=6).orderBy("query_id", "neighbor_id")
+    return _sorted(lsh_topk(emb, q, k=5, n_bits=3, n_tables=6), "query_id", "neighbor_id")
 
 
 def q_emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,7 +1517,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
     )
-    return minhash_lsh_pairs_incremental(new, path, threshold=0.99999).orderBy(
+    return _sorted(minhash_lsh_pairs_incremental(new, path, threshold=0.99999),
         "corpus_id", "new_id"
     )
 
@@ -1531,6 +1594,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_AGG_PRICING),
+        "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE_STATS),
         "join_orders_per_nation": (q_join_orders_per_nation, ORACLE_JOIN_NATION),
         "left_join_regions": (q_left_join_regions, ORACLE_LEFT_JOIN),
         "filter_predicates": (q_filter_predicates, ORACLE_FILTERS),
