@@ -28,30 +28,44 @@ def occurrence_count(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
-def marker_score(text: Column, lang: str) -> Column:
+def padded_lower(text: Column) -> Column:
+    """Space-padded, lowercased scoring image. Hot-path callers should
+    materialize this ONCE in an explicit projection and pass the column to
+    ``marker_score``/``lang_id`` with ``prepadded=True``: the image is
+    referenced ~2× per marker, and because it is non-cheap and multiply
+    referenced, CollapseProject keeps the materialized column instead of
+    re-inlining a lower()+concat per reference."""
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def marker_score(text: Column, lang: str, prepadded: bool = False) -> Column:
     """Total marker-word occurrences for ``lang`` over a space-padded,
     lowercased image of the text."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    padded = text if prepadded else padded_lower(text)
     score = F.lit(0).cast("long")
     for m in LANG_MARKERS[lang]:
         score = score + occurrence_count(padded, m)
     return score
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, prepadded: bool = False) -> Column:
     """Best-scoring language by marker count, 'und' when all scores are 0.
 
-    Ties break by fixed language order (en, de, fr, es) — deterministic.
-    """
+    Ties break by fixed language order (en, de, fr, es) — deterministic:
+    ``array_position`` finds the FIRST index of the max, and a winner needs
+    a strictly positive score. The scores live in one array so each
+    language's expression tree is built exactly once — a chained
+    when(best_score<s, ...) formulation re-embeds every earlier score tree
+    in each step (≈2^n_langs copies) and pushes Catalyst analysis time past
+    the actual execution time on small batches."""
     langs = list(LANG_MARKERS)
-    scores = {lg: marker_score(text, lg) for lg in langs}
-    best = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    for lg in langs:  # strict > keeps earlier language on ties
-        is_better = scores[lg] > best_score
-        best = F.when(is_better, F.lit(lg)).otherwise(best)
-        best_score = F.when(is_better, scores[lg]).otherwise(best_score)
-    return best
+    scores = F.array(*[marker_score(text, lg, prepadded) for lg in langs])
+    top = F.array_max(scores)
+    pick = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]),
+        F.array_position(scores, top).cast("int"),
+    )
+    return F.when(top > 0, pick).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:

@@ -416,3 +416,30 @@ def test_minhash_incremental_index_equals_batch_cross_pairs(spark, docs, tmp_pat
         for r in batch.filter((F.col("a") < 100) & (F.col("b") >= 100)).collect()
     }
     assert inc == cross
+
+
+def test_lang_id_tie_break_und_and_prepadded_equivalence(spark):
+    """lang_id semantics pinned across implementations: a winner needs a
+    strictly positive score, ties keep the earliest language in marker
+    order (en before de/fr/es), and the prepadded fast path is identical
+    to the direct form."""
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.functions.text import lang_id, padded_lower
+
+    rows = [
+        ("the cat and the dog", "en"),        # clear en
+        ("der Hund ist das Tier und", "de"),  # clear de
+        ("the der", "en"),                    # 1-1 tie → earliest lang wins
+        ("xyzzy 123", "und"),                 # no markers anywhere
+        ("", "und"),
+        (None, "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r.lg for r in df.select(lang_id(F.col("text")).alias("lg")).collect()]
+    assert got == [e for _, e in rows]
+    pre = [
+        r.lg for r in df.select(padded_lower(F.col("text")).alias("p"))
+        .select(lang_id(F.col("p"), prepadded=True).alias("lg")).collect()
+    ]
+    assert pre == got

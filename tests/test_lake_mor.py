@@ -339,3 +339,39 @@ def test_type_widening_schema_evolution(spark, tmp_path):
                 spark.createDataFrame([(4, "oops", "insert", 4)],
                                       "k long, n string, op string, lsn long"),
                 batch_id="bad")
+
+
+def test_strategy_switch_upsert_to_collapse_converges(spark, tmp_path):
+    """A MoR table carrying UNRESOLVED upsert deltas that then receives
+    collapse batches must still converge: one LWW-by-_lsn rule resolves
+    every pending version regardless of which strategy wrote it (collapse
+    deltas are versioned +1 rows, never -1 — see read()/_merge_collapse).
+    Guards the strategy-switch hazard from round-3 ADVICE (a sign-aware
+    read that skipped LWW would count stale upsert versions as live)."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4,
+                  merge_mode="mor")
+    up = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("lsn"))
+    up2 = spark.range(50).select(  # second version of keys 0..49, unresolved
+        F.col("id").alias("k"), F.lit(2).alias("v"),
+        F.lit("upsert").alias("op"), F.lit(2).alias("lsn"))
+    t.merge_into(up, batch_id="u1")
+    t.merge_into(up2, batch_id="u2")  # deltas pending — no compact between
+    col = spark.range(20, 60).select(  # collapse updates 20..49, deletes 50..59
+        F.col("id").alias("k"), F.lit(3).alias("v"),
+        F.when(F.col("id") >= 50, "delete").otherwise("update").alias("op"),
+        F.lit(3).alias("lsn"))
+    t.merge_into(col, batch_id="c1", strategy="collapse")
+
+    def check(df):
+        got = {r.k: r.v for r in df.collect()}
+        assert len(got) == 90  # 100 keys - 10 deleted
+        assert all(got[k] == 2 for k in range(0, 20))
+        assert all(got[k] == 3 for k in range(20, 50))
+        assert all(got[k] == 1 for k in range(60, 100))
+
+    check(t.read())
+    t.compact()  # physical fold: same state, checksum restored + auditable
+    check(t.read())
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
