@@ -23,6 +23,9 @@ declarative form the reference's api.py persists for every stored pipeline:
   (Spark-native extensions).
 - ``set_ops``: [{op, query}] — Spark-native extension (union | union_all |
                intersect | except), absent from the reference surface.
+- ``pivot``:   {column, values, agg, prefix} — wide rotation over an explicit
+  value list; ``unpivot``: {ids, cols, var_name, value_name} — long rotation
+  over the select/aggregate output (Spark-native extensions).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from .query import Field, Filter, Join, Query, RawSql, SetOp
+from .query import Field, Filter, Join, Pivot, Query, RawSql, SetOp, Unpivot
 
 _FILTER_OPS = {
     "=": "=", "==": "=", "!=": "!=", "<>": "!=",
@@ -112,6 +115,24 @@ def dict_to_query(d: dict[str, Any]) -> Query:
             SetOp(op=str(s["op"]).lower(), query=dict_to_query(s["query"]))
             for s in d.get("set_ops", [])
         ],
+        pivot=(
+            Pivot(
+                column=d["pivot"]["column"],
+                values=list(d["pivot"]["values"]),
+                agg=d["pivot"]["agg"],
+                prefix=str(d["pivot"].get("prefix", "")),
+            )
+            if d.get("pivot") else None
+        ),
+        unpivot=(
+            Unpivot(
+                ids=list(d["unpivot"]["ids"]),
+                cols=list(d["unpivot"]["cols"]),
+                var_name=str(d["unpivot"].get("var_name", "key")),
+                value_name=str(d["unpivot"].get("value_name", "value")),
+            )
+            if d.get("unpivot") else None
+        ),
     )
 
 

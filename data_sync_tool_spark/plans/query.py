@@ -79,6 +79,35 @@ class SetOp:
 
 
 @dataclass
+class Pivot:
+    """Wide rotation of one aggregate over an EXPLICIT value list (Spark
+    ``groupBy().pivot(col, values)``; ANSI form is one FILTER aggregate per
+    value). ``values`` is required — declared values keep the output schema
+    deterministic and skip the values-discovery scan Spark otherwise runs
+    over the whole input (an extra full pass at 100-TB scale). Combinations
+    absent from the data yield NULL, exactly like a FILTER aggregate."""
+
+    column: str  # pivot column (bare name)
+    values: list[Any]  # explicit pivot values, output column order
+    agg: str  # aggregate SQL expression, e.g. "round(sum(l_quantity), 2)"
+    prefix: str = ""  # output columns are f"{prefix}{value}"
+
+
+@dataclass
+class Unpivot:
+    """Long rotation (melt): keep ``ids``, turn each column of ``cols`` into
+    a (``var_name``, ``value_name``) row — Spark ``DataFrame.unpivot`` /
+    ANSI UNPIVOT / UNION ALL of per-column selects. Applied AFTER the
+    select/aggregate stage, over its output column names. Value columns
+    must share a common type (cast in the select)."""
+
+    ids: list[str]
+    cols: list[str]
+    var_name: str = "key"
+    value_name: str = "value"
+
+
+@dataclass
 class Query:
     select: list[Field]
     table: str
@@ -104,6 +133,11 @@ class Query:
     with_tables: dict[str, "Query | RawSql"] = dc_field(default_factory=dict)
     # applied after select/group_by, before order_by/limit (ANSI ordering)
     set_ops: list[SetOp] = dc_field(default_factory=list)
+    # wide/long rotations (Spark-native extensions; see Pivot/Unpivot).
+    # pivot replaces the aggregate stage (grouping='groups' only); unpivot
+    # applies over the select/aggregate output, before having/set_ops.
+    pivot: "Pivot | None" = None
+    unpivot: "Unpivot | None" = None
 
 
 def _field_column(f: Field) -> Column:
@@ -197,7 +231,33 @@ def build_dataframe(
         df = df.join(right, on=F.expr(j.on), how=j.type)
     for flt in query.filters:
         df = df.filter(_filter_condition(flt))
-    if query.group_by:
+    if query.pivot is not None:
+        p = query.pivot
+        if query.grouping != "groups":
+            raise ValueError("pivot supports grouping='groups' only")
+        if not query.group_by:
+            raise ValueError("pivot requires a non-empty group_by")
+        if not p.values:
+            raise ValueError(
+                "pivot requires an explicit non-empty values list (declared "
+                "values keep the schema deterministic and avoid Spark's "
+                "values-discovery scan over the full input)"
+            )
+        gb_alias = {g: f"_gb{i}" for i, g in enumerate(query.group_by)}
+        gcols = [F.expr(g).alias(a) for g, a in gb_alias.items()]
+        df = df.groupBy(*gcols).pivot(p.column, list(p.values)).agg(F.expr(p.agg))
+        out_cols = []
+        for f in query.select:
+            if f.expr not in gb_alias:
+                raise ValueError(
+                    "a pivot query selects only group_by fields; the pivoted "
+                    f"value columns are generated (got {f.expr!r})"
+                )
+            out_cols.append(F.col(gb_alias[f.expr]).alias(f.alias or f.expr))
+        # single-agg pivot names output columns by the value's string image
+        out_cols += [F.col(f"`{v}`").alias(f"{p.prefix}{v}") for v in p.values]
+        df = df.select(*out_cols)
+    elif query.group_by:
         agg_fields = [f for f in query.select if f.expr not in query.group_by]
         if query.grouping == "grouping_sets":
             # Spark's groupingSets matches set entries to grouping columns by
@@ -247,6 +307,12 @@ def build_dataframe(
         df = df.select(*out_cols)
     else:
         df = df.select(*[_field_column(f) for f in query.select])
+    if query.unpivot is not None:
+        u = query.unpivot
+        df = df.unpivot(
+            [F.col(c) for c in u.ids], [F.col(c) for c in u.cols],
+            u.var_name, u.value_name,
+        )
     # HAVING: post-aggregation filter over the projected output names
     # (applies after the select so aggregate aliases are referencable)
     for flt in query.having:

@@ -26,7 +26,7 @@ from .operators.reconcile import (
     _status_join,
     block_digest,
 )
-from .plans.query import Field, Filter, Join, Query, build_dataframe
+from .plans.query import Field, Filter, Join, Pivot, Query, Unpivot, build_dataframe
 from .sources.registry import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -122,6 +122,64 @@ ORACLE_PERCENTILE_STATS = """
     FROM orders
     WHERE o_orderstatus <> 'P'
     GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+# §2.4+ pivot/unpivot rotations (Spark-native IR extensions). The pivot value
+# list is EXPLICIT (deterministic schema, no values-discovery scan); the ANSI
+# oracle image is one FILTER aggregate per value. The unpivot query melts the
+# pivoted wide form back to long and drops the NULL cells (absent combos) with
+# a post-rotation HAVING — exercising pivot → unpivot → having composition.
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[Field("l_linestatus", "linestatus")],
+        table="lineitem",
+        group_by=["l_linestatus"],
+        pivot=Pivot(
+            column="l_returnflag", values=["A", "N", "R"],
+            agg="round(sum(l_quantity), 2)", prefix="qty_",
+        ),
+        order_by=[("linestatus", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+
+
+ORACLE_PIVOT = """
+    SELECT l_linestatus AS linestatus,
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS qty_A,
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS qty_N,
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_R
+    FROM lineitem GROUP BY l_linestatus ORDER BY linestatus
+"""
+
+
+def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        select=[Field("l_linestatus", "linestatus")],
+        table="lineitem",
+        group_by=["l_linestatus"],
+        pivot=Pivot(
+            column="l_returnflag", values=["A", "N", "R"],
+            agg="round(sum(l_quantity), 2)", prefix="qty_",
+        ),
+        unpivot=Unpivot(
+            ids=["linestatus"], cols=["qty_A", "qty_N", "qty_R"],
+            var_name="metric", value_name="qty",
+        ),
+        # Spark's unpivot KEEPS null cells (unlike SQL Server UNPIVOT);
+        # drop them so the long form equals the natural GROUP BY image
+        having=[Filter("qty", "is_not_null")],
+        order_by=[("linestatus", "asc"), ("metric", "asc")],
+    )
+    return build_dataframe(spark, q, _tables(spark, sf_dir, ["lineitem"]))
+
+
+ORACLE_UNPIVOT = """
+    SELECT l_linestatus AS linestatus,
+           'qty_' || l_returnflag AS metric,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+    GROUP BY l_linestatus, l_returnflag ORDER BY linestatus, metric
 """
 
 
@@ -1595,6 +1653,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_AGG_PRICING),
         "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE_STATS),
+        "pivot_returnflag": (q_pivot_returnflag, ORACLE_PIVOT),
+        "unpivot_flag_metrics": (q_unpivot_flag_metrics, ORACLE_UNPIVOT),
         "join_orders_per_nation": (q_join_orders_per_nation, ORACLE_JOIN_NATION),
         "left_join_regions": (q_left_join_regions, ORACLE_LEFT_JOIN),
         "filter_predicates": (q_filter_predicates, ORACLE_FILTERS),

@@ -257,3 +257,61 @@ def test_having_and_grouping_sets_round_trip(spark):
             "group_by": ["r"], "grouping": "grouping_sets", "grouping_sets": [],
         })
         build_dataframe(spark, empty, {"t": df})
+
+
+def test_pivot_unpivot_from_stored_config(spark):
+    """pivot/unpivot through the JSON stored-config surface: explicit value
+    list, prefix naming, NULL cells for absent combos, unpivot round-trip
+    (Spark keeps NULL cells — dropped here via post-rotation HAVING), and
+    the plan-build validations."""
+    import pytest
+    from data_sync_tool_spark.plans.config_io import dict_to_query
+    from data_sync_tool_spark.plans.query import build_dataframe
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "x", 4)],
+        "r string, s string, v int",
+    )
+    wide = dict_to_query({
+        "select": [{"expr": "r"}],
+        "tables": [{"table": "t", "primary": True}],
+        "group_by": ["r"],
+        "pivot": {"column": "s", "values": ["x", "y", "z"],
+                  "agg": "sum(v)", "prefix": "v_"},
+        "order_by": [{"column": "r"}],
+    })
+    out = build_dataframe(spark, wide, {"t": df})
+    assert out.columns == ["r", "v_x", "v_y", "v_z"]
+    rows = {t[0]: t[1:] for t in map(tuple, out.collect())}
+    # absent combos (b,y) and all-z are NULL, like a FILTER aggregate
+    assert rows == {"a": (1, 2, None), "b": (7, None, None)}
+
+    melt = dict_to_query({
+        "select": [{"expr": "r"}],
+        "tables": [{"table": "t", "primary": True}],
+        "group_by": ["r"],
+        "pivot": {"column": "s", "values": ["x", "y"],
+                  "agg": "sum(v)", "prefix": "v_"},
+        "unpivot": {"ids": ["r"], "cols": ["v_x", "v_y"],
+                    "var_name": "metric", "value_name": "val"},
+        "having": [{"column": "val", "operator": "IS NOT NULL"}],
+    })
+    got = {(t[0], t[1]): t[2] for t in map(tuple, build_dataframe(spark, melt, {"t": df}).collect())}
+    assert got == {("a", "v_x"): 1, ("a", "v_y"): 2, ("b", "v_x"): 7}
+
+    base = {"select": [{"expr": "r"}], "tables": [{"table": "t", "primary": True}]}
+    with pytest.raises(ValueError, match="group_by"):
+        build_dataframe(spark, dict_to_query(
+            base | {"pivot": {"column": "s", "values": ["x"], "agg": "sum(v)"}}
+        ), {"t": df})
+    with pytest.raises(ValueError, match="values list"):
+        build_dataframe(spark, dict_to_query(
+            base | {"group_by": ["r"],
+                    "pivot": {"column": "s", "values": [], "agg": "sum(v)"}}
+        ), {"t": df})
+    with pytest.raises(ValueError, match="group_by fields"):
+        build_dataframe(spark, dict_to_query(
+            {"select": [{"expr": "r"}, {"expr": "sum(v)", "alias": "sv"}],
+             "tables": [{"table": "t", "primary": True}], "group_by": ["r"],
+             "pivot": {"column": "s", "values": ["x"], "agg": "sum(v)"}}
+        ), {"t": df})
