@@ -1,0 +1,168 @@
+"""Distributed connected components — the pair→cluster→survivor stage of
+near-duplicate deduplication.
+
+The reference's dedup surface (and this engine's ``dedup_suite``/
+``similarity`` operators) emits duplicate *pairs*; a corpus pipeline must
+then group pairs into clusters and keep one canonical document per cluster.
+At 100 TB the pair graph does not fit on the driver, so clustering must be a
+distributed fixpoint, not a union-find in Python.
+
+Algorithm: iterative **min-label propagation with pointer jumping** (the
+public MapReduce connected-components family — Kiveris et al., "Connected
+Components in MapReduce and Beyond"; same scheme GraphX/GraphFrames use).
+Each node carries the smallest node id it has seen; one round propagates
+labels across original edges (join + map-side-combined min aggregate) and
+then jumps each label to its label's label twice (two chained self-joins in
+the same plan), multiplying path compression. Convergence in O(log diameter)
+rounds for tree/star shapes (near-dup cliques converge in 1-2); per round
+cost is O(E) hash-shuffle.
+
+Iteration state is snapshotted to parquet each round, NOT ``localCheckpoint``:
+measured on this Spark build, an iterative chain of localCheckpoints goes
+exponential after ~15-20 rounds (each round ~×3 slower — residual JVM plan
+state), while a parquet round-trip of the slim (id, component) table holds a
+flat per-round wall (17 rounds / 26 s on a 2 000-node functional graph where
+the localCheckpoint form never finished). This is also what GraphFrames'
+production CC does (reliable checkpoint every N rounds). The convergence
+count rides the snapshot write via ``observe()`` — one action per round.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``; ``component``
+    is the minimum node id of the node's connected component. Ids may be any
+    orderable type (long doc ids, string fingerprints). Self-loops are
+    ignored; edges are undirected.
+
+    ``checkpoint_dir``: where iteration snapshots land — defaults to a
+    driver-local temp dir (correct for local mode); on a multi-node cluster
+    pass a path every executor can reach (HDFS/S3). Intermediate snapshots
+    are deleted as they are superseded; the final one backs the returned
+    DataFrame and is left for the session to read (under a temp root the OS
+    reclaims it).
+
+    ``stats`` (optional dict) receives ``{"iterations": n}`` on return —
+    used by tests to pin the convergence behavior.
+    """
+    spark = edges.sparkSession
+    root = checkpoint_dir or tempfile.mkdtemp(prefix="dst_cc_")
+
+    def _snap(df: DataFrame, name: str) -> DataFrame:
+        path = f"{root}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # materialize the symmetric edge set ONCE: every round joins it, and the
+    # upstream edge plan (e.g. a full minhash pipeline) must not re-execute
+    sym = _snap(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"]),
+        "sym",
+    )
+    labels = _snap(
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("comp")),
+        "labels_0",
+    )
+    if labels.isEmpty():
+        if stats is not None:
+            stats["iterations"] = 0
+        return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+    for it in range(1, max_iter + 1):
+        # propagate: comp'(u) = min(comp(u), min over neighbors v of comp(v))
+        nbr = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("comp").alias("vcomp")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nmin"))
+        )
+        l2 = labels.join(nbr, "u", "left").select(
+            "u", F.col("comp").alias("prev"), F.least("comp", "nmin").alias("comp")
+        )
+        # pointer jump ×2: comp → comp(comp(comp(u))) — two chained joins in
+        # ONE plan, compressing label paths without extra actions
+        parent = l2.select(F.col("u").alias("comp"), F.col("comp").alias("pcomp"))
+        j1 = l2.join(parent, "comp", "left").select(
+            "u", "prev", F.least("comp", "pcomp").alias("comp")
+        )
+        l3 = j1.join(parent, "comp", "left").select(
+            "u",
+            F.least("comp", "pcomp").alias("comp"),
+            (F.least("comp", "pcomp") != F.col("prev")).cast("long").alias("_chg"),
+        )
+        obs = Observation()
+        out = l3.observe(obs, F.sum("_chg").alias("chg")).select("u", "comp")
+        path = f"{root}/labels_{it}"
+        out.write.mode("overwrite").parquet(path)
+        changed = obs.get["chg"]
+        labels = spark.read.parquet(path)
+        shutil.rmtree(f"{root}/labels_{it - 1}", ignore_errors=True)
+        if not changed:
+            if stats is not None:
+                stats["iterations"] = it
+            shutil.rmtree(f"{root}/sym", ignore_errors=True)
+            return labels.select(
+                F.col("u").alias("id"), F.col("comp").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def near_dedupe(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Survivors of near-duplicate removal: cluster ``pairs`` into connected
+    components and keep ONE document per cluster — the highest ``score_col``
+    (ties → smallest id; requires a numeric id), or simply the smallest id
+    when ``score_col`` is None. Documents in no pair survive untouched.
+
+    Shape: components over the pair graph (small relative to the corpus),
+    one aggregate for the per-cluster winner, then an anti-join of the
+    corpus against the losers — the corpus itself is never shuffled.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    if score_col is None:
+        winners = comp.groupBy("component").agg(F.min("id").alias("_keep"))
+    else:
+        scored = comp.join(
+            df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+        )
+        # arg-max as a struct-max aggregate (map-side combined; no window
+        # sort): max score wins, smallest id breaks ties via negated id
+        winners = (
+            scored.groupBy("component")
+            .agg(F.max(F.struct(F.col("_s"), (-F.col("id")).alias("_ni"))).alias("_w"))
+            .select("component", (-F.col("_w._ni")).alias("_keep"))
+        )
+    losers = comp.join(
+        winners,
+        (comp["component"] == winners["component"]) & (comp["id"] == winners["_keep"]),
+        "left_anti",
+    ).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,56 @@
+"""Document chunking operator (operators/chunking.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_sync_tool_spark.operators.chunking import chunk_documents
+
+
+def _chunks(spark, text, chunk_chars=10, overlap=3):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, chunk_chars=chunk_chars, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    return [(r["chunk_idx"], r["chunk_text"], r["n_chars"]) for r in rows]
+
+
+def test_short_doc_single_chunk(spark):
+    assert _chunks(spark, "hello") == [(0, "hello", 5)]
+
+
+def test_exact_boundary_single_chunk(spark):
+    assert _chunks(spark, "0123456789") == [(0, "0123456789", 10)]
+
+
+def test_overlap_and_tail_coverage(spark):
+    text = "abcdefghijklmnopq"  # 17 chars, chunk 10, stride 7 -> 2 chunks
+    out = _chunks(spark, text)
+    assert out == [(0, "abcdefghij", 10), (1, "hijklmnopq", 10)]
+    # consecutive chunks share exactly `overlap` characters
+    assert out[0][1][-3:] == out[1][1][:3]
+
+
+def test_reconstruction_covers_text(spark):
+    text = "".join(chr(97 + i % 26) for i in range(100))
+    out = _chunks(spark, text, chunk_chars=16, overlap=5)
+    stride = 11
+    rebuilt = out[0][1] + "".join(c[1][5:] for c in out[1:])
+    assert rebuilt == text
+    for idx, chunk, n in out:
+        assert text[idx * stride : idx * stride + 16] == chunk
+        assert n == len(chunk)
+
+
+def test_empty_text_one_empty_chunk(spark):
+    assert _chunks(spark, "") == [(0, "", 0)]
+
+
+def test_invalid_overlap_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=10)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=-1)
