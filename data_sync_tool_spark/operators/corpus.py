@@ -1,0 +1,180 @@
+"""Corpus-level term statistics — vocabulary, document frequency, TF-IDF
+keyword extraction, and deterministic hash sampling.
+
+The reference's transform surface stops at per-row scalar functions
+(``/root/reference/core/transform.py``); a training-data pipeline also needs
+corpus-level text statistics: which terms dominate, what characterizes a
+document against the corpus, and how to carve reproducible subsets. All hot
+paths here are built-in-expression compositions (explode → hash aggregate,
+map-side combined) — zero per-row Python — and every function is designed to
+be reproducible in ANSI SQL so the DuckDB oracle can verify it bit-for-bit.
+
+Scale shape at 100 TB:
+- ``tokenize`` is a projection + explode — as parallel as the input scan,
+  no shuffle.
+- ``vocabulary`` is ONE hash aggregate on the token key: ``doc_freq`` uses
+  the (token, doc) dedup-then-count pattern expressed as two partial-
+  aggregable steps, never ``collect_set``.
+- ``tfidf_keywords`` joins the exploded tokens against the (small) vocabulary
+  on the token key; the per-doc top-k is a window over (doc) — bounded state,
+  skew equals the longest single document, not the corpus.
+- ``hash_sample`` is a pure filter — pushed into the scan, samples the same
+  rows on any cluster size and any partitioning (unlike ``df.sample``, whose
+  output depends on partition layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import rowhash_int32
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, token) — one row per token occurrence.
+
+    Normalization: lowercase, every non-[0-9a-z] character becomes a space,
+    split on single spaces, empty tokens dropped. Deliberately the simplest
+    scheme expressible identically in Spark and DuckDB
+    (``regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g')`` + string_split).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^0-9a-z]", " ")
+    return (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, doc_freq, term_freq) over the whole corpus.
+
+    ``term_freq`` = total occurrences; ``doc_freq`` = number of distinct
+    documents containing the token. Both are computed in one pass: a first
+    (token, doc) aggregate collapses per-doc occurrences (partial map-side
+    combine does the heavy lifting inside each scan task), then one token
+    aggregate counts docs and sums occurrences. No ``count_distinct`` row
+    expansion, no ``collect_set`` memory spike on stopword-scale tokens.
+    """
+    per_doc = (
+        tokenize(df, text_col, id_col)
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_n").alias("term_freq"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    (id, token, tf, tfidf_r6) with ``tfidf = tf * ln((N + 1) / (doc_freq
+    + 1))``, rounded to 6 decimals for cross-engine float stability.
+
+    Ties break deterministically (higher tfidf, then token ascending).
+    The corpus size ``N`` rides the vocabulary aggregate as a literal-free
+    cross-computed scalar: a separate count would rescan the corpus, so it
+    is derived from the exploded per-doc aggregate instead (max over a
+    window-free ``approx`` is wrong; an exact second aggregate over the tiny
+    per-doc table is cheap and correct).
+    """
+    toks = tokenize(df, text_col, id_col)
+    per_doc = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # exact doc count from the (already aggregated, small) per-doc table —
+    # documents with zero tokens drop out of N in BOTH engines identically
+    n_docs = per_doc.select(id_col).distinct().count()
+    scored = per_doc.join(vocab, "token").select(
+        id_col,
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + F.lit(1))),
+            6,
+        ).alias("tfidf_r6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_r6").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    numerator: int,
+    denominator: int = 1000,
+    remainder: int = 0,
+) -> DataFrame:
+    """Deterministic, engine-independent sample: keep rows whose md5-prefix
+    key hash lands in ``[remainder, remainder + numerator)`` mod
+    ``denominator`` — e.g. ``numerator=10, denominator=1000`` ≈ a 1% sample.
+
+    Unlike ``DataFrame.sample`` the result is a pure function of the key
+    values: stable across cluster sizes, partitionings, and engines (DuckDB
+    reproduces it exactly via the same md5-prefix arithmetic), and disjoint
+    ``remainder`` slots partition the corpus into non-overlapping folds —
+    the train/validation-split primitive. The filter is a scan-level
+    predicate; no shuffle, no extra pass.
+    """
+    if not 0 < numerator <= denominator:
+        raise ValueError("require 0 < numerator <= denominator")
+    if not 0 <= remainder < denominator:
+        raise ValueError("require 0 <= remainder < denominator")
+    slot = (rowhash_int32(*key_cols) + F.lit(denominator - remainder)) % F.lit(denominator)
+    return df.filter(slot < numerator)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    stratum_col: str,
+    rates: dict[str, int],
+    denominator: int = 1000,
+    default: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus *mixing-weight*
+    primitive: keep ``rates[stratum] / denominator`` of each stratum (e.g.
+    upsample high-quality sources, downsample boilerplate domains), hashing
+    the same md5-prefix slot as :func:`hash_sample` so per-stratum samples
+    are stable, engine-independent, and composable with fold remainders.
+    Strata absent from ``rates`` keep ``default / denominator``. Still a pure
+    scan-level filter: no shuffle, no per-stratum passes.
+    """
+    for s, n in rates.items():
+        if not 0 <= n <= denominator:
+            raise ValueError(f"rate for stratum {s!r} outside [0, {denominator}]")
+    if not 0 <= default <= denominator:
+        raise ValueError("default rate outside range")
+    # flat map literal, not chained when(): constant-depth expression tree
+    # regardless of stratum count (the lang_id lesson — Catalyst analysis
+    # cost tracks tree size)
+    entries = [x for s, n in rates.items() for x in (F.lit(s), F.lit(n))]
+    rate = (
+        F.coalesce(
+            F.element_at(F.create_map(*entries), F.col(stratum_col)),
+            F.lit(default),
+        )
+        if entries
+        else F.lit(default)
+    )
+    slot = rowhash_int32(*key_cols) % F.lit(denominator)
+    return df.filter(slot < rate)

@@ -1594,6 +1594,342 @@ ORACLE_DEDUP_INCREMENTAL = r"""
 """
 
 
+# --------------------------------------------------------- dedup clustering
+# Near-dup pairs → connected components → one survivor per cluster: the stage
+# a corpus dedup pipeline runs AFTER any pair-producing strategy above.
+# Oracle: DuckDB recursive-CTE transitive closure over the SAME pair set —
+# the closure genuinely verifies transitivity (chains), not just pair parity.
+
+def _triple_planted_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted documents (``_salted_documents`` — only exact copies can near-
+    dup-pair) ∪ copies of every 50th doc (+10M) ∪ copies of every 100th
+    (+20M): %100 docs form identical-text TRIPLES, so the pair graph has
+    triangle components and the clustering is non-trivial. Salting first
+    makes the pair set ≡ text-equality pairs, which keeps the oracle's pair
+    derivation a cheap equality join (the ngram-set derivation measured
+    ~100 s in DuckDB at sf0.01; pair-set parity with the real ngram operator
+    is already hash-verified by ``dedup_ngram_jaccard``)."""
+    docs = _salted_documents(spark, sf_dir)
+    return (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10_000_000)
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(20_000_000)
+            )
+        )
+    )
+
+
+# planted salted corpus → text-equality pairs → symmetric transitive closure;
+# the recursive CTE genuinely verifies the clustering's transitivity
+_DD_PAIR_CLOSURE = f"""
+    salted AS (
+      SELECT doc_id, {_DD_SALTED_NT} AS nt FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, nt FROM salted
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, nt FROM salted WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, nt FROM salted WHERE doc_id % 100 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM planted a JOIN planted b ON a.doc_id < b.doc_id AND a.nt = b.nt
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-recall ngram near-dup pair graph:
+    (doc_id, component) for every clustered doc, component = min doc id."""
+    from .operators.dedup_suite import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _triple_planted_salted(spark, sf_dir), threshold=0.99999
+    )
+    comp = connected_components(pairs, "a", "b")
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE {_DD_PAIR_CLOSURE}
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: pairs → clusters → keep min-id per cluster;
+    unpaired docs survive untouched. The corpus itself is only anti-joined —
+    never reshuffled — against the (small) loser set."""
+    from .operators.dedup_suite import ngram_jaccard_pairs
+    from .operators.graph import near_dedupe
+
+    planted = _triple_planted_salted(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(planted, threshold=0.99999)
+    kept = near_dedupe(planted, pairs, id_col="doc_id")
+    return kept.select("doc_id", F.length("text").alias("n_chars")).orderBy("doc_id")
+
+
+# the salted raw text is `text || ' ' || <4 space-joined md5 blocks>`, so its
+# length is length(text) + 4*32 + 4 separators = length(text) + 132
+ORACLE_DEDUP_SURVIVORS = f"""
+    WITH RECURSIVE {_DD_PAIR_CLOSURE},
+    planted_len AS (
+      SELECT doc_id, length(text) + 132 AS n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, length(text) + 132 FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, length(text) + 132 FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT p.doc_id, CAST(p.n_chars AS INT) AS n_chars
+    FROM planted_len p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM reach r WHERE r.u = p.doc_id AND r.v < p.doc_id
+    )
+    ORDER BY doc_id
+"""
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on NATURAL chained data: the orders↔parts
+    bipartite graph from lineitem (orders sharing a part connect — the
+    entity-resolution shape). Unlike the planted-duplicate cliques this
+    graph has long chains and a giant component at small sf, so the
+    recursive oracle exercises deep transitivity."""
+    from .operators.graph import connected_components
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") <= 80) & (F.col("l_orderkey") <= 4000))
+        .select(
+            F.col("l_orderkey").alias("a"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    comp = connected_components(edges, "a", "b")
+    return comp.select(F.col("id").alias("node_id"), "component").orderBy("node_id")
+
+
+ORACLE_GRAPH_COMPONENTS = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_orderkey AS a, l_partkey + 10000000 AS b
+      FROM lineitem WHERE l_partkey <= 80 AND l_orderkey <= 4000
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS node_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u ORDER BY node_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking of the document corpus
+    (embedding-pipeline pre-step; pure codegen, no shuffle)."""
+    from .operators.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=512, overlap=64).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    n AS (SELECT doc_id, text,
+            CASE WHEN len <= 512 THEN 1
+                 ELSE CAST(ceil((len - 512) / 448.0) AS INT) + 1 END AS nch
+          FROM d)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substr(text, CAST(i * 448 + 1 AS INT), 512) AS chunk_text,
+           CAST(length(substr(text, CAST(i * 448 + 1 AS INT), 512)) AS INT) AS n_chars
+    FROM n, UNNEST(range(0, nch)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------- corpus statistics
+# Vocabulary / document-frequency / TF-IDF keywords / deterministic sampling
+# (operators/corpus.py). The tokenization is deliberately the simplest scheme
+# both engines express identically: lower, non-[0-9a-z] → space, split, drop
+# empties.
+
+_DD_TOKENS = """
+    raw AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, token FROM raw WHERE token <> '')
+"""
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus terms by total occurrences (ties by token) among terms
+    appearing in ≥5 documents — the stopword/vocabulary profile."""
+    from .operators.corpus import vocabulary
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        vocabulary(docs)
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(100)
+    )
+
+
+ORACLE_CORPUS_VOCAB = f"""
+    WITH {_DD_TOKENS},
+    per AS (SELECT token, doc_id, count(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(n) AS BIGINT) AS term_freq
+    FROM per GROUP BY token HAVING count(*) >= 5
+    ORDER BY term_freq DESC, token LIMIT 100
+"""
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (smoothed TF-IDF, rounded to
+    6 decimals; ties by token) over a deterministic 1-in-7 doc subset."""
+    from .operators.corpus import tfidf_keywords
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return tfidf_keywords(docs, k=3).orderBy("doc_id", "token")
+
+
+ORACLE_DOC_KEYWORDS = f"""
+    WITH docs AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+    raw AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' ')) AS token
+      FROM docs
+    ),
+    toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
+    per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, count(*) AS doc_freq FROM per GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM per),
+    scored AS (
+      SELECT p.doc_id, p.token, p.tf,
+             round(p.tf * ln((n.n_docs + 1.0) / (v.doc_freq + 1.0)), 6) AS tfidf_r6
+      FROM per p JOIN vocab v USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf_r6 FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, token
+"""
+
+
+def q_corpus_fold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus fold (md5-prefix key hash mod 1000 < 100):
+    the reproducible train/validation-split primitive — same rows on any
+    cluster size, any partitioning, any engine."""
+    from .operators.corpus import hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, ["doc_id"], numerator=100, denominator=1000)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_FOLD = f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_dd_rowhash('doc_id')} % 1000 < 100
+    ORDER BY doc_id
+"""
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing weights (upsample en, downsample the rest):
+    deterministic stratified sample — 50% en, 20% zh, 10% de, 5% default."""
+    from .operators.corpus import stratified_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs,
+            ["doc_id"],
+            stratum_col="lang",
+            rates={"en": 500, "zh": 200, "de": 100},
+            default=50,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_MIX = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_dd_rowhash('doc_id')} % 1000 <
+      CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200 WHEN 'de' THEN 100
+                ELSE 50 END
+    ORDER BY doc_id
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: chunk (256 chars, no overlap) → md5 fingerprint → exact
+    duplicate-chunk groups across the corpus (the sub-document dedup shape:
+    boilerplate headers/footers repeat across distinct documents)."""
+    from .operators.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_chars=256, overlap=0)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+ORACLE_CHUNK_DEDUP = """
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    n AS (SELECT doc_id, text,
+            CASE WHEN len <= 256 THEN 1
+                 ELSE CAST(ceil((len - 256) / 256.0) AS INT) + 1 END AS nch
+          FROM d),
+    chunks AS (
+      SELECT doc_id, substr(text, CAST(i * 256 + 1 AS INT), 256) AS chunk_text
+      FROM n, UNNEST(range(0, nch)) AS t(i)
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM chunks GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY chunk_hash
+"""
+
+
 def _oracle_session_stats() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -1704,4 +2040,13 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_lsh_topk_exhaustive": (q_emb_lsh_topk_exhaustive, ORACLE_EMB_TOPK),
         "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, ORACLE_EMB_TOPK),
         "dedup_minhash_incremental": (q_dedup_minhash_incremental, ORACLE_DEDUP_INCREMENTAL),
+        "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+        "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
+        "graph_components": (q_graph_components, ORACLE_GRAPH_COMPONENTS),
+        "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+        "corpus_vocab": (q_corpus_vocab, ORACLE_CORPUS_VOCAB),
+        "doc_keywords": (q_doc_keywords, ORACLE_DOC_KEYWORDS),
+        "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
+        "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
+        "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     }

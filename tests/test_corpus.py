@@ -1,0 +1,160 @@
+"""Corpus statistics operators (operators/corpus.py): tokenization edge
+cases, vocabulary counts, TF-IDF keyword selection vs a hand-computed
+fixture, and the determinism/fold-partition contract of hash_sample."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_sync_tool_spark.operators.corpus import (
+    hash_sample,
+    stratified_hash_sample,
+    tfidf_keywords,
+    tokenize,
+    vocabulary,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokenize_normalizes_and_drops_empties(spark):
+    df = _docs(spark, [(1, "Hello, WORLD!  hello"), (2, ""), (3, "--- !!")])
+    got = sorted((r["doc_id"], r["token"]) for r in tokenize(df).collect())
+    assert got == [(1, "hello"), (1, "hello"), (1, "world")]
+
+
+def test_vocabulary_doc_and_term_freq(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "a c"), (3, "c c c")])
+    got = {
+        r["token"]: (r["doc_freq"], r["term_freq"])
+        for r in vocabulary(df).collect()
+    }
+    assert got == {"a": (2, 3), "b": (1, 1), "c": (2, 4)}
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    # 3 docs; 'common' in all → idf ln(4/4)=0; doc-unique terms dominate
+    df = _docs(
+        spark,
+        [
+            (1, "common rare1 rare1"),
+            (2, "common rare2"),
+            (3, "common midway"),
+        ],
+    )
+    out = tfidf_keywords(df, k=1).collect()
+    got = {r["doc_id"]: (r["token"], r["tf"], r["tfidf_r6"]) for r in out}
+    idf_unique = round(2 * math.log(4 / 2), 6)
+    assert got[1] == ("rare1", 2, idf_unique)
+    assert got[2][0] == "rare2"
+    assert got[3][0] == "midway"
+    # 'common' scores exactly 0 everywhere, never beats a unique term
+    assert all(tok != "common" for tok, _tf, _s in got.values())
+
+
+def test_tfidf_ties_break_by_token(spark):
+    df = _docs(spark, [(1, "zzz aaa"), (2, "other")])
+    top = {r["doc_id"]: r["token"] for r in tfidf_keywords(df, k=1).collect()}
+    assert top[1] == "aaa"  # equal tf and idf → lexicographic
+
+
+def test_hash_sample_deterministic_across_partitioning(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    a = sorted(r["k"] for r in hash_sample(df.repartition(1), ["k"], 100).collect())
+    b = sorted(r["k"] for r in hash_sample(df.repartition(16), ["k"], 100).collect())
+    assert a == b
+    assert 300 < len(a) < 700  # ~10% of 5000, md5 is uniform
+
+
+def test_hash_sample_folds_partition_the_corpus(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    folds = [
+        set(
+            r["k"]
+            for r in hash_sample(
+                df, ["k"], numerator=250, denominator=1000, remainder=r0
+            ).collect()
+        )
+        for r0 in (0, 250, 500, 750)
+    ]
+    assert sum(len(f) for f in folds) == 2000
+    assert set().union(*folds) == set(range(2000))
+
+
+def test_stratified_sample_is_per_stratum_hash_sample(spark):
+    # the stratified sample of stratum s must equal hash_sample at s's rate
+    # restricted to s — same hash slot, so samples compose and nest
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    got = stratified_hash_sample(
+        df, ["k"], "lang", {"en": 400}, default=100
+    )
+    en = set(r["k"] for r in got.filter(F.col("lang") == "en").collect())
+    zh = set(r["k"] for r in got.filter(F.col("lang") == "zh").collect())
+    want_en = set(
+        r["k"]
+        for r in hash_sample(df.filter(F.col("lang") == "en"), ["k"], 400).collect()
+    )
+    want_zh = set(
+        r["k"]
+        for r in hash_sample(df.filter(F.col("lang") == "zh"), ["k"], 100).collect()
+    )
+    assert en == want_en and zh == want_zh
+    # smaller rates nest inside larger ones (slot-prefix property): the 10%
+    # sample is a subset of the 40% sample, so mixing weights can be tuned
+    # without resampling from scratch
+    small = set(r["k"] for r in hash_sample(df, ["k"], 100).collect())
+    big = set(r["k"] for r in hash_sample(df, ["k"], 400).collect())
+    assert small <= big
+
+
+def test_stratified_sample_null_and_missing_strata_use_default(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "other") for i in range(1000)],
+        "k long, lang string",
+    )
+    got = stratified_hash_sample(df, ["k"], "lang", {"en": 500}, default=0)
+    assert got.count() == 0  # default 0 drops unknown AND null strata
+    some = stratified_hash_sample(df, ["k"], "lang", {}, default=1000)
+    assert some.count() == 1000
+
+
+def test_stratified_sample_validates_rates(spark):
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, ["k"], "lang", {"en": 1001})
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, ["k"], "lang", {}, default=-1)
+
+
+def test_corpus_plans_stay_jvm_side(spark):
+    """No Python-UDF nodes anywhere in the corpus operators' plans, and the
+    hash_sample predicate sits in a plain Filter (scan-level, no shuffle)."""
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id long, text string")
+    for plan_df in (
+        vocabulary(df),
+        tfidf_keywords(df, k=2),
+        hash_sample(df, ["doc_id"], 100),
+        stratified_hash_sample(df, ["doc_id"], "text", {"a b": 10}),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    sampled = hash_sample(df, ["doc_id"], 100)
+    assert "Exchange" not in sampled._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_sample_validates_params(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        hash_sample(df, ["k"], 0)
+    with pytest.raises(ValueError):
+        hash_sample(df, ["k"], 1001, 1000)
+    with pytest.raises(ValueError):
+        hash_sample(df, ["k"], 10, 1000, remainder=1000)
