@@ -80,20 +80,32 @@ def tfidf_keywords(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by smoothed TF-IDF:
     (id, token, tf, tfidf_r6) with ``tfidf = tf * ln((N + 1) / (doc_freq
     + 1))``, rounded to 6 decimals for cross-engine float stability.
 
     Ties break deterministically (higher tfidf, then token ascending).
-    The corpus size ``N`` rides the vocabulary aggregate as a literal-free
-    cross-computed scalar: a separate count would rescan the corpus, so it
-    is derived from the exploded per-doc aggregate instead (max over a
-    window-free ``approx`` is wrong; an exact second aggregate over the tiny
-    per-doc table is cheap and correct).
+
+    The (id, token, tf) aggregate is consumed three times (corpus size N,
+    the vocabulary branch, and the scoring join), so it is snapshotted to
+    parquet ONCE — the corpus text is scanned exactly once, the three
+    consumers read the far smaller aggregate (same policy as
+    ``operators/graph.connected_components``: a parquet round-trip of slim
+    intermediate state beats re-executing the wide upstream plan).
+    ``scratch_dir`` must be executor-reachable on a real cluster (HDFS/S3);
+    defaults to a driver-local temp dir, correct for local mode.
     """
+    import tempfile
+
     toks = tokenize(df, text_col, id_col)
-    per_doc = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    root = scratch_dir or tempfile.mkdtemp(prefix="dst_tfidf_")
+    spark = df.sparkSession
+    toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/per_doc")
+    per_doc = spark.read.parquet(f"{root}/per_doc")
     vocab = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     # exact doc count from the (already aggregated, small) per-doc table —
     # documents with zero tokens drop out of N in BOTH engines identically
