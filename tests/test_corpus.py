@@ -11,10 +11,12 @@ from pyspark.sql import functions as F
 
 from data_sync_tool_spark.operators.corpus import (
     hash_sample,
+    merge_vocabularies,
     stratified_hash_sample,
     tfidf_keywords,
     tokenize,
     vocabulary,
+    vocabulary_approx,
 )
 
 
@@ -35,6 +37,40 @@ def test_vocabulary_doc_and_term_freq(spark):
         for r in vocabulary(df).collect()
     }
     assert got == {"a": (2, 3), "b": (1, 1), "c": (2, 4)}
+
+
+def test_merge_vocabularies_equals_batch_on_disjoint_docs(spark):
+    d1 = _docs(spark, [(1, "a b a"), (2, "a c")])
+    d2 = _docs(spark, [(3, "c c c"), (4, "b d")])
+    merged = {
+        r["token"]: (r["doc_freq"], r["term_freq"])
+        for r in merge_vocabularies(vocabulary(d1), vocabulary(d2)).collect()
+    }
+    full = {
+        r["token"]: (r["doc_freq"], r["term_freq"])
+        for r in vocabulary(d1.unionByName(d2)).collect()
+    }
+    assert merged == full
+
+
+def test_vocabulary_approx_tracks_exact(spark):
+    # 200 docs, each containing token 'w<i%40>' → every token has exact
+    # doc_freq 5; HLL at rsd=0.02 must land within 5% on every token and
+    # term_freq stays exact
+    df = _docs(spark, [(i, f"w{i % 40} filler") for i in range(200)])
+    approx = {
+        r["token"]: (r["doc_freq_approx"], r["term_freq"])
+        for r in vocabulary_approx(df).collect()
+    }
+    exact = {
+        r["token"]: (r["doc_freq"], r["term_freq"])
+        for r in vocabulary(df).collect()
+    }
+    assert set(approx) == set(exact)
+    for tok, (dfa, tfa) in approx.items():
+        dfe, tfe = exact[tok]
+        assert tfa == tfe
+        assert abs(dfa - dfe) <= max(1, 0.05 * dfe), (tok, dfa, dfe)
 
 
 def test_tfidf_keywords_hand_computed(spark):
