@@ -441,3 +441,47 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    assemble: bool = True,
+) -> DataFrame:
+    """Element-wise mean vector per group — class prototypes / cluster
+    centroids / a distributed IVF-centroid refinement step.
+
+    Shape at 100 TB: ``posexplode`` flattens to (group, pos, val) and ONE
+    hash aggregate on (group, pos) computes the means — ``avg`` is partially
+    aggregated map-side, so the shuffle carries one partial per (group, pos,
+    task), never the vectors themselves. No ``collect_list`` of arrays, no
+    driver numpy. With ``assemble=True`` a second (tiny, |groups|-sized)
+    aggregate reassembles ordered arrays via sort-then-transform.
+
+    Returns ``(group, centroid, n_vecs)`` when assembled, else the flat
+    ``(group, pos, mean_val, n_vecs)`` — ``n_vecs`` is the per-group vector
+    count (constant across positions for rectangular input).
+    """
+    flat = (
+        df.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy(group_col, "pos")
+        .agg(
+            F.avg(F.col("val").cast("double")).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+    if not assemble:
+        return flat
+    return (
+        flat.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                ),
+                lambda s: s["mean_val"],
+            ).alias("centroid"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+    )

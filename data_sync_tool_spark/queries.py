@@ -1930,6 +1930,32 @@ ORACLE_CHUNK_DEDUP = """
 """
 
 
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding (class prototypes), flat
+    (label, pos, mean_r6, n_vecs) form — one partial-aggregated shuffle."""
+    from .operators.similarity import group_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = group_centroids(emb, "label", "embedding", assemble=False)
+    return flat.select(
+        "label",
+        "pos",
+        F.round("mean_val", 6).alias("mean_r6"),
+        "n_vecs",
+    ).orderBy("label", "pos")
+
+
+ORACLE_LABEL_CENTROIDS = """
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           round(avg(CAST(val AS DOUBLE)), 6) AS mean_r6,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2 ORDER BY label, pos
+"""
+
+
 def _oracle_session_stats() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -2049,4 +2075,5 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
+        "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }
