@@ -25,6 +25,13 @@ flat per-round wall (17 rounds / 26 s on a 2 000-node functional graph where
 the localCheckpoint form never finished). This is also what GraphFrames'
 production CC does (reliable checkpoint every N rounds). The convergence
 count rides the snapshot write via ``observe()`` — one action per round.
+
+Giant-component skew: once a huge component collapses toward one label, the
+pointer-jump joins key many rows on that single ``comp`` value. The hot side
+is the probe side of a many-to-one join (the ``parent`` build side stays one
+row per distinct label), so AQE's skew-join splitting — enabled by the
+session factory — splits the hot partitions; the per-node aggregates
+(``groupBy("u")``) stay uniform by construction.
 """
 
 from __future__ import annotations
@@ -136,6 +143,8 @@ def near_dedupe(
     a_col: str = "a",
     b_col: str = "b",
     score_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Survivors of near-duplicate removal: cluster ``pairs`` into connected
     components and keep ONE document per cluster — the highest ``score_col``
@@ -146,7 +155,9 @@ def near_dedupe(
     one aggregate for the per-cluster winner, then an anti-join of the
     corpus against the losers — the corpus itself is never shuffled.
     """
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(
+        pairs, a_col, b_col, checkpoint_dir=checkpoint_dir, stats=stats
+    )
     if score_col is None:
         winners = comp.groupBy("component").agg(F.min("id").alias("_keep"))
     else:

@@ -194,3 +194,39 @@ def test_hash_sample_validates_params(spark):
         hash_sample(df, ["k"], 1001, 1000)
     with pytest.raises(ValueError):
         hash_sample(df, ["k"], 10, 1000, remainder=1000)
+
+
+def test_incremental_vocabulary_via_lake_cdf(spark, tmp_path):
+    """Corpus stats maintained from the lake's change feed: each ingest
+    batch's NEW documents flow through `changes_since` → `vocabulary` →
+    `merge_vocabularies`, and after three batches the incrementally-merged
+    stats equal a full recompute over the table — the historical corpus text
+    is never rescanned (insert-only growth; updates would need old-version
+    subtraction, out of scope for additive stats)."""
+    from data_sync_tool_spark.operators.corpus import merge_vocabularies
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(
+        spark, str(tmp_path / "docs"), ["doc_id"], n_buckets=4,
+        merge_mode="mor", checksum=False,
+    )
+    batches = [
+        [(1, "a b a"), (2, "a c")],
+        [(3, "c c c")],
+        [(4, "b d"), (5, "a d d")],
+    ]
+    stats = None
+    last = -1
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, txt, "upsert", i * 10 + j) for j, (k, txt) in enumerate(rows)],
+            "doc_id long, text string, op string, lsn long",
+        )
+        t.merge_into(df, batch_id=f"b{i}")
+        feed = t.changes_since(last).filter(F.col("op") == "upsert")
+        last = feed.agg(F.max("_lsn")).first()[0]
+        delta = vocabulary(feed)
+        stats = delta if stats is None else merge_vocabularies(stats, delta)
+    inc = sorted(tuple(r) for r in stats.collect())
+    full = sorted(tuple(r) for r in vocabulary(t.read()).collect())
+    assert inc == full
