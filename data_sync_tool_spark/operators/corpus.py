@@ -173,6 +173,48 @@ def tfidf_keywords(
     )
 
 
+def unigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own unigram
+    LM — the classic perplexity-style quality filter (KenLM-shaped, one
+    order lower): ``ce = -avg over doc tokens of ln(term_freq(token) /
+    total_tokens)``. Boilerplate and keyword-stuffed documents score LOW
+    (common tokens), lexically-rich text scores high; both tails are
+    filter candidates. Returns (id, n_tokens, ce_r6), empty-token docs
+    dropped (no tokens to score).
+
+    Scale shape: the exploded (id, token) stream is aggregated once into
+    per-doc counts and snapshotted (same single-scan policy as
+    :func:`tfidf_keywords`); the LM itself is the (small) token-frequency
+    table, joined back on the token key. The stopword-skew of that join is
+    harmless: the heavy tokens fan out to many docs, and the final per-doc
+    aggregate partial-combines map-side.
+    """
+    import tempfile
+
+    root = scratch_dir or tempfile.mkdtemp(prefix="dst_uce_")
+    spark = df.sparkSession
+    tokenize(df, text_col, id_col).groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).write.mode("overwrite").parquet(f"{root}/per_doc")
+    per_doc = spark.read.parquet(f"{root}/per_doc")
+    lm = per_doc.groupBy("token").agg(F.sum("tf").alias("term_freq"))
+    total = lm.agg(F.sum("term_freq")).first()[0]
+    scored = per_doc.join(lm, "token").select(
+        id_col,
+        "tf",
+        (F.col("tf") * -F.log(F.col("term_freq") / F.lit(float(total)))).alias("_nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum("_nll") / F.sum("tf"), 6).alias("ce_r6"),
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_cols: list[str],

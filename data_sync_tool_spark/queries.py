@@ -1930,6 +1930,28 @@ ORACLE_CHUNK_DEDUP = """
 """
 
 
+def q_doc_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy vs the corpus LM (perplexity-style
+    quality signal): low = boilerplate/common tokens, high = lexically rich."""
+    from .operators.corpus import unigram_cross_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs).orderBy("doc_id")
+
+
+ORACLE_DOC_UNIGRAM_CE = f"""
+    WITH {_DD_TOKENS},
+    per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2),
+    lm AS (SELECT token, sum(tf) AS term_freq FROM per GROUP BY 1),
+    tot AS (SELECT sum(term_freq) AS total FROM lm)
+    SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+           round(sum(p.tf * -ln(l.term_freq / t.total)) / sum(p.tf), 6) AS ce_r6
+    FROM per p JOIN lm l USING (token) CROSS JOIN tot t
+    GROUP BY p.doc_id ORDER BY doc_id
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise mean embedding (class prototypes), flat
     (label, pos, mean_r6, n_vecs) form — one partial-aggregated shuffle."""
@@ -2075,5 +2097,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
+        "doc_unigram_ce": (q_doc_unigram_ce, ORACLE_DOC_UNIGRAM_CE),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }

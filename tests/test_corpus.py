@@ -15,6 +15,7 @@ from data_sync_tool_spark.operators.corpus import (
     stratified_hash_sample,
     tfidf_keywords,
     tokenize,
+    unigram_cross_entropy,
     vocabulary,
     vocabulary_approx,
 )
@@ -168,6 +169,23 @@ def test_stratified_sample_validates_rates(spark):
         stratified_hash_sample(df, ["k"], "lang", {"en": 1001})
     with pytest.raises(ValueError):
         stratified_hash_sample(df, ["k"], "lang", {}, default=-1)
+
+
+def test_unigram_cross_entropy_hand_computed(spark, tmp_path):
+    # LM over all docs: term_freq a=3 b=1 c=1, total=5; empty doc 3 dropped
+    df = _docs(spark, [(1, "a b a"), (2, "a c"), (3, "")])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ce_r6"])
+        for r in unigram_cross_entropy(df, scratch_dir=str(tmp_path)).collect()
+    }
+    ce1 = -(2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    ce2 = -(math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert set(got) == {1, 2}
+    assert got[1][0] == 3 and got[2][0] == 2
+    assert got[1][1] == pytest.approx(ce1, abs=1e-6)
+    assert got[2][1] == pytest.approx(ce2, abs=1e-6)
+    # boilerplate (all-common tokens) scores strictly lower than rare-heavy
+    assert got[1][1] < got[2][1]
 
 
 def test_corpus_plans_stay_jvm_side(spark):
