@@ -1952,6 +1952,56 @@ ORACLE_DOC_UNIGRAM_CE = f"""
 """
 
 
+# Benchmark decontamination (operators/decontam.py): the "benchmark" is the
+# deterministic md5-slot fold [0,100)/1000 of documents (the same split as
+# corpus_fold_sample, so both engines reproduce it exactly); training = the
+# complement. A 5-gram at this corpus's ~30-word vocabulary is selective:
+# hits are the planted verbatim duplicates (tens of shared grams) plus a
+# handful of single-gram coincidences — both audit-relevant shapes.
+_DECONTAM_N = 5
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 token 5-gram with the benchmark fold, with
+    the count of distinct overlapping grams (leak-audit signal)."""
+    from .functions.hashes import rowhash_int32
+    from .operators.decontam import contamination_hits
+
+    docs = read_table(spark, sf_dir, "documents")
+    slot = (rowhash_int32("doc_id") + F.lit(1000)) % F.lit(1000)
+    bench, train = docs.filter(slot < 100), docs.filter(~(slot < 100))
+    hits = contamination_hits(train, bench, n=_DECONTAM_N).select(
+        F.col("id").alias("doc_id"), "n_hit_grams"
+    )
+    return _sorted(hits, "doc_id")
+
+
+ORACLE_DECONTAM_HITS = f"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {_DECONTAM_N - 1}],
+               ' ') AS gram
+      FROM arr, UNNEST(range(1, greatest(len(toks) - {_DECONTAM_N} + 2, 1))) AS t(i)
+    ),
+    slots AS (SELECT doc_id, ({_dd_rowhash('doc_id')} + 1000) % 1000 AS slot
+              FROM documents),
+    bench AS (SELECT DISTINCT gram FROM grams JOIN slots USING (doc_id)
+              WHERE slot < 100)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM grams g JOIN bench USING (gram) JOIN slots s ON g.doc_id = s.doc_id
+    WHERE s.slot >= 100
+    GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise mean embedding (class prototypes), flat
     (label, pos, mean_r6, n_vecs) form — one partial-aggregated shuffle."""
@@ -2098,5 +2148,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
         "doc_unigram_ce": (q_doc_unigram_ce, ORACLE_DOC_UNIGRAM_CE),
+        "decontam_hits": (q_decontam_hits, ORACLE_DECONTAM_HITS),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }
