@@ -106,3 +106,35 @@ def shingles(text: Column, k: int = 5) -> Column:
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k - 1)))
     return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+
+
+# PII scrubbing — the pre-training redaction pass (emails, phone numbers,
+# IPv4 addresses → typed placeholder tokens). Patterns use only regex
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and \b word boundaries —
+# no lookaround, no backreferences. Order matters and is fixed: emails are
+# redacted before IPs so an address-like mail domain is consumed by the
+# email rule first; counts are computed per-pattern on the ORIGINAL text and
+# are therefore independent (a token can count in two categories).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with every PII match replaced by its placeholder token, applying
+    ``PII_PATTERNS`` in order (one chained ``regexp_replace`` per pattern —
+    three JVM regex passes, zero Python)."""
+    out = text
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (``email`` / ``ip`` / ``phone``) in the
+    original text, via ``regexp_extract_all`` length (codegen, no UDF)."""
+    pat = next(p for n, p, _t in PII_PATTERNS if n == kind)
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")

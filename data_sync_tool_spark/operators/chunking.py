@@ -48,3 +48,75 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("n_chars"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout: documents are laid out
+    contiguously in ``id_col`` order and cut into fixed ``budget``-token
+    training sequences. Returns one row per document:
+    ``(id, n_tokens, tok_start, seq_id, crosses_boundary)`` where
+    ``tok_start`` is the doc's offset in the global token stream, ``seq_id``
+    = the sequence containing its first token, and ``crosses_boundary``
+    (0/1) marks docs split across two or more sequences. Token counts use
+    the corpus tokenization (lowercase, non-alnum → space).
+
+    Scale shape — a distributed prefix sum, NOT a single-partition window:
+    range-partition by id, per-partition token totals (one tiny O(partitions)
+    collect) become driver-computed partition offsets, and the running sum
+    inside each partition is a window over that partition only. No stage
+    touches more than one partition's rows; the offsets join broadcasts.
+    Within one invocation the range exchange is computed once and its
+    shuffle files are reused by both the totals job and the final plan, so
+    partition ids are consistent; the OUTPUT is a pure function of
+    (id order, token counts) regardless of partitioning.
+
+    The result is deterministic packing metadata a writer can use to emit
+    shards without re-scanning text (pair with ``chunk_documents`` for the
+    chunk text itself).
+    """
+    if budget < 1:
+        raise ValueError("require budget >= 1")
+    from pyspark.sql import Window
+
+    from .decontam import _tokens
+
+    spark = df.sparkSession
+    n_parts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = df.select(
+        F.col(id_col), F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    ranged = staged.repartitionByRange(n_parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off"))
+        .withColumn("seq_id", F.expr(f"tok_start div {budget}"))
+        .withColumn(
+            "crosses_boundary",
+            (
+                F.expr(f"(tok_start + greatest(n_tokens, 1) - 1) div {budget}")
+                > F.col("seq_id")
+            ).cast("int"),
+        )
+    )
+    return out.select(id_col, "n_tokens", "tok_start", "seq_id", "crosses_boundary")

@@ -215,6 +215,66 @@ def unigram_cross_entropy(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document within-doc repetition signals — the Gopher/MassiveText
+    quality-filter family (Rae et al. 2021 §A1.1: "fraction of characters in
+    the most common n-gram", "fraction of duplicate ..."):
+
+    - ``n_tokens``, ``dup_tok_frac_r6`` = 1 − distinct/total tokens (high →
+      keyword stuffing / stutter loops);
+    - ``top_bigram``, ``top_bigram_frac_r6`` = the most frequent token
+      bigram and its share of all bigram occurrences (high → boilerplate /
+      template text). Ties break deterministically to the lexicographically
+      largest bigram. Docs with <2 tokens carry NULL bigram columns; docs
+      with 0 tokens are dropped (nothing to score).
+
+    Scale shape: two exploded streams (tokens, bigram windows), each
+    collapsed by partial-combining per-doc aggregates; the bigram argmax is
+    a struct-max aggregate (no per-doc sort, no window). Token windowing
+    happens on a pre-projected token array (see decontam._gram_windows).
+    """
+    from .decontam import _gram_windows, _tokens
+
+    tok_stats = (
+        tokenize(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct"),
+        )
+    )
+    staged = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    bigrams = staged.select(
+        id_col, F.explode(_gram_windows(F.col("_toks"), 2, distinct=False)).alias("gram")
+    )
+    per_gram = bigrams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("gram"))).alias("_top"),
+            F.sum("c").alias("_tot"),
+        )
+        .select(
+            id_col,
+            F.col("_top.gram").alias("top_bigram"),
+            F.round(F.col("_top.c") / F.col("_tot"), 6).alias("top_bigram_frac_r6"),
+        )
+    )
+    return tok_stats.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.round(F.lit(1) - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "dup_tok_frac_r6"
+        ),
+        "top_bigram",
+        "top_bigram_frac_r6",
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_cols: list[str],

@@ -33,17 +33,19 @@ def _tokens(text_col: Column) -> Column:
     )
 
 
-def _gram_windows(toks: Column, n: int) -> Column:
-    """Distinct sliding n-gram windows over a token-ARRAY column. ``toks``
-    must be a bound column (not a composite expression): Catalyst does not
-    CSE subexpressions inside the ``transform`` lambda, so an inline
-    tokenize would re-run the regex split once per window — measured 4.7×
-    slower at sf0.1. Callers project the token array first."""
+def _gram_windows(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Sliding n-gram windows over a token-ARRAY column (distinct by
+    default; ``distinct=False`` keeps every occurrence, for frequency
+    signals like repetition stats). ``toks`` must be a bound column (not a
+    composite expression): Catalyst does not CSE subexpressions inside the
+    ``transform`` lambda, so an inline tokenize would re-run the regex
+    split once per window — measured 4.7× slower at sf0.1. Callers project
+    the token array first."""
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def token_ngram_array(text_col: Column, n: int) -> Column:

@@ -1952,6 +1952,149 @@ ORACLE_DOC_UNIGRAM_CE = f"""
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters: duplicate-token fraction
+    and the most-frequent-bigram share (boilerplate/template detector)."""
+    from .operators.corpus import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+ORACLE_DOC_REPETITION = f"""
+    WITH {_DD_TOKENS},
+    tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   count(DISTINCT token) AS n_distinct
+            FROM toks GROUP BY 1),
+    arr AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' '),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             array_to_string(tk[CAST(i AS BIGINT):CAST(i AS BIGINT) + 1], ' ') AS gram
+      FROM arr, UNNEST(range(1, greatest(len(tk), 1))) AS t(i)
+    ),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, gram, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn,
+             sum(c) OVER (PARTITION BY doc_id) AS tot
+      FROM cnt
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(1 - t.n_distinct * 1.0 / t.n_tokens, 6) AS dup_tok_frac_r6,
+           r.gram                                        AS top_bigram,
+           round(r.c * 1.0 / r.tot, 6)                   AS top_bigram_frac_r6
+    FROM tok t LEFT JOIN ranked r ON t.doc_id = r.doc_id AND r.rn = 1
+    ORDER BY t.doc_id
+"""
+
+
+# Sequence packing (operators/chunking.py pack_sequences): concat-and-chunk
+# layout metadata for 512-token training sequences. The Spark side is a
+# distributed prefix sum (range partition + per-partition offsets); the
+# oracle is the same running sum as one window. Both are pure functions of
+# (doc order, token counts), so the hash compare verifies the distributed
+# decomposition reproduces the sequential layout exactly.
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512).orderBy("doc_id")
+
+
+ORACLE_PACK_SEQUENCES = """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' '),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           tok_start // 512 AS seq_id,
+           CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 > tok_start // 512
+                AS INT) AS crosses_boundary
+    FROM cum ORDER BY doc_id
+"""
+
+
+# PII redaction (functions/text.py PII_PATTERNS): the synthetic corpus
+# carries no real PII, so the query plants deterministic emails / phones /
+# IPv4s derived from c_custkey — every row a phone, every 3rd an email,
+# every 5th an IP — then scrubs them. Both engines build the identical text,
+# so counts and the redacted-text digest are exact-match verifiable.
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pii_count, redact_pii
+
+    c = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+    )
+    email = F.when(
+        k % 3 == 0, F.concat(F.lit(" mail user"), k.cast("string"), F.lit("@example.com"))
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        k % 5 == 0,
+        F.concat(F.lit(" host 10."), (k % 256).cast("string"), F.lit(".0."),
+                 (k % 100).cast("string")),
+    ).otherwise(F.lit(""))
+    text = F.concat(F.col("c_name"), F.lit(" call "), phone, email, ip)
+    d = c.select(k.alias("custkey"), text.alias("t"))
+    return d.select(
+        "custkey",
+        pii_count(F.col("t"), "email").alias("n_email"),
+        pii_count(F.col("t"), "ip").alias("n_ip"),
+        pii_count(F.col("t"), "phone").alias("n_phone"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    ).orderBy("custkey")
+
+
+ORACLE_PII_REDACTION = r"""
+    WITH d AS (
+      SELECT c_custkey AS custkey,
+             c_name || ' call '
+               || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN c_custkey % 3 = 0
+                       THEN ' mail user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN c_custkey % 5 = 0
+                       THEN ' host 10.' || CAST(c_custkey % 256 AS VARCHAR)
+                            || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+                       ELSE '' END AS t
+      FROM customer
+    )
+    SELECT custkey,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)         AS n_ip,
+           CAST(len(regexp_extract_all(t, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT)                    AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))                                            AS redacted_md5
+    FROM d ORDER BY custkey
+"""
+
+
 # Benchmark decontamination (operators/decontam.py): the "benchmark" is the
 # deterministic md5-slot fold [0,100)/1000 of documents (the same split as
 # corpus_fold_sample, so both engines reproduce it exactly); training = the
@@ -2149,5 +2292,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
         "doc_unigram_ce": (q_doc_unigram_ce, ORACLE_DOC_UNIGRAM_CE),
         "decontam_hits": (q_decontam_hits, ORACLE_DECONTAM_HITS),
+        "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
+        "pii_redaction": (q_pii_redaction, ORACLE_PII_REDACTION),
+        "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }

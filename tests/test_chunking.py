@@ -54,3 +54,54 @@ def test_invalid_overlap_rejected(spark):
         chunk_documents(df, chunk_chars=10, overlap=10)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=10, overlap=-1)
+
+
+# ---------------------------------------------------------------- packing
+
+def _pack_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_hand_computed(spark):
+    from data_sync_tool_spark.operators.chunking import pack_sequences
+
+    # token counts: 3, 4, 2, 0 → starts 0, 3, 7, 9; budget 5
+    df = _pack_docs(
+        spark,
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "")],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_id"], r["crosses_boundary"])
+        for r in pack_sequences(df, budget=5).collect()
+    }
+    assert got == {
+        1: (3, 0, 0, 0),   # [0,3) inside seq 0
+        2: (4, 3, 0, 1),   # [3,7) spans seqs 0-1
+        3: (2, 7, 1, 0),   # [7,9) inside seq 1
+        4: (0, 9, 1, 0),   # empty doc occupies nothing, never crosses
+    }
+
+
+def test_pack_sequences_distributed_equals_sequential(spark):
+    """The range-partitioned prefix sum must reproduce the one-partition
+    layout exactly — on ids arriving in arbitrary partition order."""
+    from data_sync_tool_spark.operators.chunking import pack_sequences
+
+    rows = [(i * 17 % 101, "tok " * (i % 13)) for i in range(101)]
+    df = _pack_docs(spark, rows).repartition(7)
+    wide = {r["doc_id"]: tuple(r) for r in pack_sequences(df, 16, n_partitions=13).collect()}
+    seq = {r["doc_id"]: tuple(r) for r in pack_sequences(df, 16, n_partitions=1).collect()}
+    assert wide == seq
+    # offsets are a contiguous layout: sorted starts stitch up exactly
+    ordered = sorted(wide.values())
+    pos = 0
+    for _id, n, start, _s, _c in ordered:
+        assert start == pos
+        pos += n
+
+
+def test_pack_sequences_validates_budget(spark):
+    from data_sync_tool_spark.operators.chunking import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(_pack_docs(spark, [(1, "a")]), budget=0)

@@ -188,6 +188,30 @@ def test_unigram_cross_entropy_hand_computed(spark, tmp_path):
     assert got[1][1] < got[2][1]
 
 
+def test_repetition_stats_hand_computed(spark):
+    from data_sync_tool_spark.operators.corpus import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),   # tokens: 5, distinct 2; bigrams: ab,ba,ab,ba → tie 2/2 → 'b a'
+            (2, "x y z"),       # no repetition; bigram tie 1/1 → 'y z'
+            (3, "solo"),        # 1 token → NULL bigram columns
+            (4, ""),            # 0 tokens → dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_tok_frac_r6"], r["top_bigram"], r["top_bigram_frac_r6"]
+        )
+        for r in repetition_stats(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (5, 0.6, "b a", 0.5)
+    assert got[2] == (3, 0.0, "y z", 0.5)
+    assert got[3] == (1, 0.0, None, None)
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python-UDF nodes anywhere in the corpus operators' plans, and the
     hash_sample predicate sits in a plain Filter (scan-level, no shuffle)."""

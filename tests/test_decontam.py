@@ -68,6 +68,32 @@ def test_ngram_validates_n(spark):
         df.select(token_ngram_array(F.col("text"), 0))
 
 
+def test_redact_pii_and_counts(spark):
+    from data_sync_tool_spark.functions.text import pii_count, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-corp.co.uk now"),
+        (2, "call 25-989-741-2988 or visit 192.168.0.1"),
+        (3, "version 1.2.3.4.5 is not an ip boundary-wise"),  # 5 octets: \b still matches first 4
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: (r["e"], r["i"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            pii_count(F.col("t"), "email").alias("e"),
+            pii_count(F.col("t"), "ip").alias("i"),
+            pii_count(F.col("t"), "phone").alias("p"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert out[2] == (0, 1, 1, "call <PHONE> or visit <IP>")
+    assert out[3][1] == 1  # greedy quad match inside the 5-octet version string
+    assert out[4] == (0, 0, 0, "clean text with no pii at all")
+
+
 def test_contamination_join_is_broadcast_and_jvm_side(spark):
     """The corpus-side probe must be a broadcast hash join (no corpus
     shuffle before the join) and gram extraction stays in codegen."""
