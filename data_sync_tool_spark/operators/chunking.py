@@ -120,3 +120,46 @@ def pack_sequences(
         )
     )
     return out.select(id_col, "n_tokens", "tok_start", "seq_id", "crosses_boundary")
+
+
+def packed_sequence_text(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Materialized concat-and-chunk training sequences: the corpus token
+    stream (docs in ``id_col`` order, docs split mid-stream where a budget
+    boundary lands) cut into exactly-``budget``-token sequences. Returns
+    ``(seq_id, n_tokens, seq_text)`` — every sequence full except the last.
+
+    Scale shape: token positions come from :func:`pack_sequences` doc
+    offsets (a distributed prefix sum) plus ``posexplode`` within the doc —
+    NO global window over the token stream. The per-sequence assembly
+    groups ≤``budget`` tokens and orders them with one in-group
+    ``sort_array(collect_list(struct))`` (bounded state: budget tokens per
+    group). One corpus scan for offsets, one for tokens; the offsets join
+    is by id (broadcast-eligible when doc count ≪ corpus bytes).
+    """
+    from .decontam import _tokens
+
+    layout = pack_sequences(df, budget, text_col, id_col, n_partitions).select(
+        id_col, "tok_start"
+    )
+    toks = df.select(F.col(id_col), F.posexplode(_tokens(F.col(text_col)))).select(
+        id_col, F.col("pos"), F.col("col").alias("token")
+    )
+    placed = toks.join(layout, id_col).select(
+        (F.col("tok_start") + F.col("pos")).alias("gpos"), "token"
+    )
+    grouped = placed.groupBy(F.expr(f"gpos div {budget}").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct(F.col("gpos"), F.col("token")))).alias("_o"),
+    )
+    return grouped.select(
+        "seq_id",
+        "n_tokens",
+        F.array_join(F.transform(F.col("_o"), lambda s: s["token"]), sep).alias("seq_text"),
+    )

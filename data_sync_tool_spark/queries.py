@@ -2030,6 +2030,39 @@ ORACLE_PACK_SEQUENCES = """
 """
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 512-token training sequences (concat-and-chunk): the
+    digest compare proves the distributed token placement reproduces the
+    sequential stream byte-for-byte, split docs included."""
+    from .operators.chunking import packed_sequence_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    seqs = packed_sequence_text(docs, budget=512)
+    return seqs.select(
+        "seq_id", "n_tokens", F.md5("seq_text").alias("seq_md5")
+    ).orderBy("seq_id")
+
+
+ORACLE_PACKED_SEQUENCES = """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ),
+    stream AS (
+      SELECT row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos,
+             toks[CAST(i AS BIGINT)] AS token
+      FROM arr, UNNEST(range(1, len(toks) + 1)) AS t(i)
+    )
+    SELECT gpos // 512 AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(token, ' ' ORDER BY gpos)) AS seq_md5
+    FROM stream GROUP BY 1 ORDER BY 1
+"""
+
+
 # PII redaction (functions/text.py PII_PATTERNS): the synthetic corpus
 # carries no real PII, so the query plants deterministic emails / phones /
 # IPv4s derived from c_custkey — every row a phone, every 3rd an email,
@@ -2295,5 +2328,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
         "pii_redaction": (q_pii_redaction, ORACLE_PII_REDACTION),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+        "packed_sequences": (q_packed_sequences, ORACLE_PACKED_SEQUENCES),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }

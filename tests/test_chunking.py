@@ -105,3 +105,29 @@ def test_pack_sequences_validates_budget(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(_pack_docs(spark, [(1, "a")]), budget=0)
+
+
+def test_packed_sequence_text_splits_docs_at_boundaries(spark):
+    from data_sync_tool_spark.operators.chunking import packed_sequence_text
+
+    df = _pack_docs(spark, [(1, "a b c"), (2, "d e f g"), (3, "h i")])
+    got = {
+        r["seq_id"]: (r["n_tokens"], r["seq_text"])
+        for r in packed_sequence_text(df, budget=4).collect()
+    }
+    # stream: a b c d | e f g h | i  — doc 2 split across seqs 0/1
+    assert got == {0: (4, "a b c d"), 1: (4, "e f g h"), 2: (1, "i")}
+
+
+def test_packed_sequence_text_full_coverage_and_order(spark):
+    from data_sync_tool_spark.operators.chunking import packed_sequence_text
+
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(i % 7))) for i in range(40)]
+    df = _pack_docs(spark, rows).repartition(5)
+    seqs = sorted(
+        (r["seq_id"], r["seq_text"])
+        for r in packed_sequence_text(df, budget=10, n_partitions=6).collect()
+    )
+    rebuilt = " ".join(t for _s, t in seqs)
+    expected = " ".join(t for _i, t in rows if t)
+    assert rebuilt == expected
