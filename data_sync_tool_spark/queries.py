@@ -729,6 +729,59 @@ def q_conv_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# transcripts as documents: converge the change stream, assemble each
+# conversation into ordered "role: text" transcript text, and dedup at
+# conversation level (operators/transcripts.py) — the bridge from the CDC
+# half of the engine to the corpus half. Duplicate conversations are
+# planted (md5-selected ~1/16 of convs recopied under '~copy' ids) so the
+# group structure is non-trivial at every sf.
+def q_conv_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedupe import replay_final_state
+    from .operators.transcripts import assemble_transcripts, transcript_dup_groups
+    from .sources.registry import changelog
+
+    final = replay_final_state(changelog(spark, sf_dir), ["conv_id", "turn_idx"])
+    asm = assemble_transcripts(final)
+    planted = asm.unionByName(
+        asm.filter(F.substring(F.md5("conv_id"), 1, 1) == "0").withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("~copy"))
+        )
+    )
+    return transcript_dup_groups(planted).orderBy("conv_id")
+
+
+def _oracle_transcript_dedup() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        ),
+        final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete'),
+        asm AS (
+          SELECT conv_id,
+                 md5(string_agg(
+                   md5(CAST(length(coalesce(role, '')) AS VARCHAR)
+                       || ':' || coalesce(role, '') || ':' || coalesce(text, '')),
+                   ',' ORDER BY turn_idx)) AS tfp
+          FROM final GROUP BY conv_id
+        ),
+        planted AS (
+          SELECT conv_id, tfp FROM asm
+          UNION ALL
+          SELECT conv_id || '~copy' AS conv_id, tfp FROM asm
+          WHERE substr(md5(conv_id), 1, 1) = '0'
+        ),
+        fp AS (SELECT conv_id, tfp AS fp FROM planted),
+        grp AS (SELECT fp, min(conv_id) AS canonical_id, count(1) AS n
+                FROM fp GROUP BY fp)
+        SELECT f.conv_id, g.canonical_id, f.fp
+        FROM fp f JOIN grp g USING (fp) WHERE g.n > 1 ORDER BY f.conv_id
+    """
+
+
 def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic corpus-cleaning composite: language filter + quality floor
     + exact-dedup (keep canonical) in one pipeline."""
@@ -1994,6 +2047,105 @@ ORACLE_DOC_REPETITION = f"""
 """
 
 
+# Exact duplicated-span dedup (operators/span_dedup.py): maximal token runs
+# whose every 12-gram recurs corpus-wide (ExactSubstr, Lee et al. 2022) —
+# the documents fixture carries natural boilerplate repeats, so the spans
+# are real, cross-document, and length-varied. The md5 of the re-sliced
+# span text proves the hash-prefilter → text-verify → islands pipeline
+# reconstructed genuine document content, not just positions.
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, min_len=12)
+    return spans.select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        "span_tokens",
+        F.md5("span_text").alias("span_md5"),
+    ).orderBy("doc_id", "span_start")
+
+
+_DS_ARR = """
+    arr AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g'), ' '),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(tk[CAST(i AS BIGINT):CAST(i AS BIGINT) + 11], ' ') AS gram
+      FROM arr, UNNEST(range(1, greatest(len(tk) - 10, 1))) AS t(i)
+      WHERE len(tk) >= 12
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    p AS (SELECT doc_id, pos FROM g JOIN d USING (gram))
+"""
+
+ORACLE_DUP_SPANS = f"""
+    WITH {_DS_ARR},
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM p
+    ),
+    s AS (
+      SELECT doc_id, min(pos) AS span_start,
+             CAST(count(*) + 11 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start, s.span_tokens,
+           md5(array_to_string(
+             a.tk[CAST(s.span_start + 1 AS BIGINT):
+                  CAST(s.span_start + s.span_tokens AS BIGINT)], ' ')) AS span_md5
+    FROM s JOIN arr a USING (doc_id) ORDER BY doc_id, span_start
+"""
+
+
+def q_dup_span_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite path end-to-end: corpus with non-canonical duplicated
+    spans cut out, keeping the corpus-first copy. Hash compare covers the
+    canonicality rule AND the per-position token filtering."""
+    from .operators.span_dedup import dedupe_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedupe_spans(docs, min_len=12)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source"
+    ).orderBy("doc_id")
+
+
+ORACLE_DUP_SPAN_DEDUPE = f"""
+    WITH {_DS_ARR},
+    canon AS (
+      SELECT gram, min(struct_pack(doc_id := doc_id, pos := pos)) AS c
+      FROM g JOIN d USING (gram) GROUP BY gram
+    ),
+    noncanon AS (
+      SELECT g.doc_id, g.pos FROM g JOIN canon USING (gram)
+      WHERE g.doc_id <> canon.c.doc_id OR g.pos <> canon.c.pos
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS tp
+      FROM noncanon, UNNEST(range(0, 12)) AS t(o)
+    ),
+    kept AS (
+      SELECT a.doc_id,
+             string_agg(a.tk[CAST(i AS BIGINT)], ' ' ORDER BY i) AS new_text
+      FROM arr a, UNNEST(range(1, len(a.tk) + 1)) AS t(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = a.doc_id AND c.tp = i - 1
+      )
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id, md5(coalesce(k.new_text, '')) AS text_md5, d.lang, d.source
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 # Sequence packing (operators/chunking.py pack_sequences): concat-and-chunk
 # layout metadata for 512-token training sequences. The Spark side is a
 # distributed prefix sum (range partition + per-partition offsets); the
@@ -2300,6 +2452,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "enrich_service_batched": (q_enrich_service, ORACLE_ENRICH_SERVICE),
         "json_extract_props": (q_json_extract, ORACLE_JSON),
         "conv_session_stats": (q_conv_session_stats, _oracle_session_stats()),
+        "conv_transcript_dedup": (q_conv_transcript_dedup, _oracle_transcript_dedup()),
         "training_data_filter": (q_training_data_filter, _oracle_training_filter()),
         "dedup_exact_groups": (q_dedup_exact_groups, ORACLE_DEDUP_EXACT),
         "dedup_minhash_signature": (q_dedup_minhash_signature, ORACLE_DEDUP_MINHASH),
@@ -2327,6 +2480,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "decontam_hits": (q_decontam_hits, ORACLE_DECONTAM_HITS),
         "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
         "pii_redaction": (q_pii_redaction, ORACLE_PII_REDACTION),
+        "dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
+        "dup_span_dedupe": (q_dup_span_dedupe, ORACLE_DUP_SPAN_DEDUPE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "packed_sequences": (q_packed_sequences, ORACLE_PACKED_SEQUENCES),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
