@@ -2182,6 +2182,23 @@ ORACLE_PACK_SEQUENCES = """
 """
 
 
+# BPE tokenizer (operators/bpe.py): train-on-word-counts + Arrow-batched
+# encode. No DuckDB oracle — the merge loop is iterative and inherently
+# non-SQL (same class as the streaming/stateful ops); correctness is
+# pytest-pinned against the sequential reference encoder on the same data
+# (test_bpe.py), and the query itself is deterministic end-to-end.
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_token_counts, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=64)
+    return (
+        bpe_token_counts(docs, merges)
+        .select(F.col("id").alias("doc_id"), "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized 512-token training sequences (concat-and-chunk): the
     digest compare proves the distributed token placement reproduces the
@@ -2484,5 +2501,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "dup_span_dedupe": (q_dup_span_dedupe, ORACLE_DUP_SPAN_DEDUPE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "packed_sequences": (q_packed_sequences, ORACLE_PACKED_SEQUENCES),
+        "bpe_token_stats": (q_bpe_token_stats, None),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
     }
