@@ -92,6 +92,7 @@ def main() -> None:
         embedding_near_dup_pairs,
         lsh_topk,
     )
+    from data_sync_tool_spark.operators.span_dedup import duplicate_spans
     from data_sync_tool_spark.session import build_session
 
     spark = build_session("dedup-scale", shuffle_partitions=32)
@@ -126,6 +127,10 @@ def main() -> None:
             # homogeneous corpora (its own docstring says use minhash at
             # scale) — scaling IT 10x just measures that caveat for minutes.
             timed("ngram_jaccard(t=0.9)", lambda: ngram_jaccard_pairs(docs, threshold=0.9))
+        # worst case for span dedup: every copy duplicates every core
+        # 12-gram, so candidate positions ≈ the whole corpus — wall growth
+        # must still track corpus size (occurrence lists), not pairs
+        timed("duplicate_spans(L=12)", lambda: duplicate_spans(docs, min_len=12))
         timed("emb_near_dup(t=0.99)", lambda: embedding_near_dup_pairs(emb, threshold=0.99))
         timed("lsh_topk(32q,k=5)", lambda: lsh_topk(emb, queries, k=5, n_bits=6, n_tables=3))
 
