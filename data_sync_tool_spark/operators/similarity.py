@@ -485,3 +485,122 @@ def group_centroids(
             F.max("n_vecs").alias("n_vecs"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    sample_per_centroid: int = 256,
+    _with_assignment: bool = False,
+):
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with the IVF machinery, then compute EXACT
+    pairwise cosine only WITHIN each cluster — ``(a, b, cos)`` for every
+    within-cluster pair at or above ``threshold``.
+
+    Scale shape: clustering caps the quadratic term at Σ|cluster|² instead
+    of |corpus|² (with balanced lists, |corpus|²/n_clusters), and the
+    self-join runs on bare ``(id, list_id)`` rows — vectors are re-attached
+    once per side only for surviving candidate pairs, mirroring
+    ``embedding_near_dup_pairs``. Each vector lives in exactly ONE list, so
+    no candidate dedup pass is needed (unlike multi-table LSH). Cosines are
+    rounded to 6 places for cross-engine comparability.
+
+    ``n_clusters=1`` is the exhaustive configuration: exact all-pairs
+    cosine at threshold — the DuckDB-verifiable sibling of the clustered
+    approximation (same trick as ``lsh_topk_exhaustive``)."""
+    assigned, centroids = ivf_assign(
+        df, n_clusters, id_col, vec_col, n_iters, sample_per_centroid
+    )
+    base = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
+    )
+    slim = base.select("id", "list_id")
+    cands = (
+        slim.select(F.col("id").alias("a"), "list_id")
+        .join(slim.select(F.col("id").alias("b"), "list_id"), "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                     norm(F.col("v")).alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                     norm(F.col("v")).alias("nb"))
+    pairs = (
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cos", F.round(cosine_prenormed(F.col("va"), F.col("vb"),
+                                                    F.col("na"), F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+    if _with_assignment:
+        return pairs, assigned, centroids
+    return pairs
+
+
+def semantic_dedupe(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "marginal",
+    n_iters: int = 2,
+    sample_per_centroid: int = 256,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup survivors: drop all but one member of every semantic
+    near-duplicate group. Groups are connected components over
+    ``semantic_dedup_pairs`` (transitive: a chain of ≥threshold links is one
+    group even when its endpoints are unlike each other — same contract as
+    the text dedup suite).
+
+    ``keep`` picks the survivor per group: ``"marginal"`` keeps the member
+    LEAST similar to its cluster centroid — the SemDeDup paper's choice
+    (retain the outlier; duplicates cluster tightly, the marginal point
+    carries the most diversity); ``"min_id"`` keeps the smallest id (the
+    deterministic choice the text suite uses, and the one a SQL oracle can
+    express).
+
+    Shape: components run on the pair graph only; centroid scores are
+    computed just for pair participants (semi-join before the broadcast
+    centroid join); the corpus is anti-joined against losers and never
+    reshuffled (``near_dedupe``)."""
+    from .graph import near_dedupe
+
+    pairs, assigned, centroids = semantic_dedup_pairs(
+        df, threshold, n_clusters, id_col, vec_col, n_iters,
+        sample_per_centroid, _with_assignment=True,
+    )
+    if keep == "min_id":
+        return near_dedupe(df, pairs, id_col=id_col,
+                           checkpoint_dir=checkpoint_dir)
+    if keep != "marginal":
+        raise ValueError(f"keep must be 'marginal' or 'min_id', got {keep!r}")
+    participants = pairs.select(F.col("a").alias(id_col)).union(
+        pairs.select(F.col("b").alias(id_col))
+    ).dropDuplicates()
+    scored = (
+        assigned.join(participants, id_col, "left_semi")
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            F.col("centroid").alias("c"),
+        )
+        .select(
+            id_col,
+            (-F.round(cosine_prenormed(F.col("v"), F.col("c"), norm(F.col("v")),
+                                       norm(F.col("c"))), 6)).alias("_marginality"),
+        )
+    )
+    df_scored = df.join(scored, id_col, "left")
+    survivors = near_dedupe(
+        df_scored, pairs, id_col=id_col, score_col="_marginality",
+        checkpoint_dir=checkpoint_dir,
+    )
+    return survivors.drop("_marginality")

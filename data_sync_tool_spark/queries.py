@@ -1553,6 +1553,56 @@ ORACLE_EMB_NEAR_DUP = f"""
 """
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (cluster-then-prune) on planted exact triples,
+    with REAL clustering (n_clusters=8): identical vectors always share a
+    cluster, and the synthetic corpus has no natural pair above cos 0.98
+    (checked in DuckDB), so the within-cluster prune equals the global
+    all-pairs prune the SQL oracle computes. ``keep='marginal'`` exercises
+    the centroid-similarity scoring path; exact copies tie on marginality
+    and the deterministic tie-break (min id) is what the oracle expresses."""
+    from .operators.similarity import semantic_dedupe
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planted = emb
+    for off in (1_000_000, 2_000_000):
+        planted = planted.unionByName(
+            emb.filter(F.col("vec_id") < 10).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(off)
+            )
+        )
+    out = semantic_dedupe(planted, threshold=0.9999, n_clusters=8, keep="marginal")
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+ORACLE_EMB_SEMANTIC_DEDUP = f"""
+    WITH RECURSIVE eplanted AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id + 2000000, embedding, label FROM embeddings WHERE vec_id < 10
+    ),
+    epairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM eplanted a JOIN eplanted b ON a.vec_id < b.vec_id
+      WHERE round({_dd_cos('a.embedding', 'b.embedding')}, 6) >= 0.9999
+    ),
+    esym AS (SELECT u, v FROM epairs UNION SELECT v, u FROM epairs),
+    ereach(u, v) AS (
+      SELECT u, v FROM esym
+      UNION
+      SELECT r.u, s.v FROM ereach r JOIN esym s ON r.v = s.u
+    ),
+    ecomp AS (SELECT u AS vec_id, least(u, min(v)) AS component
+              FROM ereach GROUP BY u)
+    SELECT p.vec_id AS vec_id, p.label AS label
+    FROM eplanted p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM ecomp WHERE vec_id <> component)
+    ORDER BY vec_id
+"""
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
@@ -2479,6 +2529,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_ngram_long": (q_dedup_ngram_long, ORACLE_DEDUP_NGRAM_LONG),
         "emb_brute_topk": (q_emb_brute_topk, ORACLE_EMB_TOPK),
         "emb_near_dup": (q_emb_near_dup, ORACLE_EMB_NEAR_DUP),
+        "emb_semantic_dedup": (q_emb_semantic_dedup, ORACLE_EMB_SEMANTIC_DEDUP),
         "emb_ivf_topk": (q_emb_ivf_topk, None),
         "emb_lsh_topk": (q_emb_lsh_topk, None),
         "emb_lsh_topk_exhaustive": (q_emb_lsh_topk_exhaustive, ORACLE_EMB_TOPK),
