@@ -1,7 +1,8 @@
 """Standalone replica of the driver's correctness gate: run every
 ``__spark_entry__.queries()`` entry and compare with its DuckDB oracle.
 
-Usage: python tests/run_oracle_check.py [sf_dir]
+Usage: python tests/run_oracle_check.py [sf_dir] [query_name ...]
+(no query names = run everything)
 """
 
 from __future__ import annotations
@@ -25,6 +26,12 @@ def main() -> int:
     spark = build_session("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:  # optional subset for fast iteration
+        unknown = [n for n in sys.argv[2:] if n not in qs]
+        if unknown:
+            print(f"FAIL  unknown queries: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in sys.argv[2:]}
     failed = 0
     for name, fn in qs.items():
         t0 = time.time()
