@@ -1,0 +1,303 @@
+"""Product quantization (PQ) for embedding columns — compressed ANN.
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011), re-expressed Spark-first. The reference engine has no
+vector surface; this extends the LLM-training-data similarity suite
+with the COMPRESSED corpus representation a 10^10-vector store needs:
+a dim-768 float32 vector is 3 KB, its PQ code at m=8 subspaces is 8
+small ints (~32 B before dictionary/bit packing) — the corpus side of
+every query shrinks ~100×, and scoring never touches the raw vectors.
+
+Scale shape:
+
+- **train** mirrors ``similarity.ivf_assign``: codebooks fit on a
+  bounded DETERMINISTIC hash-min sample (one distributed TakeOrdered
+  job, never a full sort), Lloyd runs per-subspace in numpy on the
+  driver. Codebooks are tiny (m × k × dim/m doubles ≈ 128 KB at
+  m=8, k=256, dim=64→768) and broadcast.
+- **encode** is ONE lazy Arrow pass: per batch, a numpy argmin against
+  each subspace codebook. The corpus is encoded once (build-once /
+  query-many — persist the codes, drop the vectors).
+- **search (ADC)** is pure JVM: each query precomputes its m×k lookup
+  table of subvector·codeword dot products (driver numpy over the
+  small query batch), ships it as an ``array<array<double>>`` column
+  on the BROADCAST query side, and the asymmetric distance is one
+  ``zip_with`` + ``aggregate`` over the codes — no Python, no shuffle
+  of the corpus, no decode. Top-k via the per-query window.
+
+Vectors are L2-normalized before subspace split, so ADC inner product
+approximates cosine (residual/OPQ rotations are out of scope).
+Deterministic end to end: hash-min sample seeds, fixed iteration
+count, no RNG — retrains are bit-stable, so tests can pin exact codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+    sample_per_code: int = 64,
+) -> np.ndarray:
+    """Train PQ codebooks → ``(m, k, dim//m)`` float64. The embedding dim
+    must divide evenly into ``m`` subspaces. Sample and seeding follow
+    ``ivf_assign``: the ``k × sample_per_code`` hash-smallest rows train,
+    the k hash-smallest are the initial codewords per subspace, empty
+    cells keep their previous codeword."""
+    n_sample = max(k, k * sample_per_code)
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_sample)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    smat = _normalize(np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64))
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        x = smat[:, sub * dsub:(sub + 1) * dsub]
+        cb = x[:k].copy()
+        for _ in range(max(0, n_iters)):
+            # Lloyd step over the sample: nearest codeword by L2 → cell mean
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = x[nearest == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[sub] = cb
+    return books
+
+
+def _encode_udf(books_bc):
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vs: pd.Series) -> pd.Series:
+        books = books_bc.value  # (m, k, dsub)
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = _normalize(np.asarray(vs.tolist(), dtype=np.float64))
+        m, k, dsub = books.shape
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for sub in range(m):
+            x = mat[:, sub * dsub:(sub + 1) * dsub]
+            # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² is rank-constant
+            d2 = -2.0 * (x @ books[sub].T) + (books[sub] ** 2).sum(axis=1)[None, :]
+            codes[:, sub] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """``(id, codes: array<int>)`` — the compressed corpus. One Arrow
+    pass against the broadcast codebooks; everything but the id is
+    dropped, so the persisted/queried table is ~100× smaller than the
+    raw vectors."""
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        np.asarray(books, dtype=np.float64)
+    )
+    return corpus.select(
+        F.col(id_col), _encode_udf(bc)(F.col(vec_col)).alias(code_col)
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """(query_id, neighbor_id, adc) approximate top-k by asymmetric
+    distance: the corpus side is the CODES table only. Each query's m×k
+    LUT of subvector·codeword inner products is computed driver-side
+    (queries are the small side) and broadcast; scoring is pure JVM —
+    ``adc = Σ_sub lut[sub][code[sub]]`` via ``zip_with`` + ``aggregate``
+    over the code array, so the hot path moves ~m ints + one LUT probe
+    per scored pair, never a vector."""
+    books = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        spark = codes.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double"
+        )
+    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    luts = []
+    for qi, row in enumerate(q_rows):
+        lut = [
+            [float(x) for x in qmat[qi, sub * dsub:(sub + 1) * dsub] @ books[sub].T]
+            for sub in range(m)
+        ]
+        luts.append((row[id_col], lut))
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), F.col(code_col))
+        .join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(code_col),
+                        F.col("lut"),
+                        lambda c, lut: F.element_at(lut, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def pq_topk_refined(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Two-stage PQ search — the production shape: ADC over the compressed
+    codes generates ``k × oversample`` candidates per query (the corpus
+    scan touches codes only), then ONLY those candidates re-attach their
+    raw vectors for an exact cosine re-rank. At 10^10 vectors the exact
+    stage reads k×oversample×|queries| vectors instead of the corpus —
+    the refine join is the same slim candidates-then-attach shape as
+    ``lsh_topk``. Returns (query_id, neighbor_id, cos)."""
+    from ..functions.vectors import cosine_prenormed, norm
+
+    cands = pq_topk(
+        codes, queries, books, k=k * oversample, id_col=id_col,
+        vec_col=vec_col, code_col=code_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = cands.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        F.round(cosine_prenormed(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+) -> None:
+    """Persist a PQ index: ``{path}/codes`` = the compressed corpus
+    parquet, ``{path}/books`` = the flattened codebook table. Build-once
+    / query-many, with the same incremental contract as the IVF index:
+    codebooks are FROZEN at build time, so appended batches encode
+    against them without touching existing codes."""
+    books = pq_train(corpus, m, k, id_col, vec_col, n_iters)
+    mm, kk, dsub = books.shape
+    spark = corpus.sparkSession
+    rows = [
+        (sub, c, [float(x) for x in books[sub, c]])
+        for sub in range(mm)
+        for c in range(kk)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, word array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/books")
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_read_books(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/books").collect()
+    if not rows:
+        raise ValueError(f"no PQ codebooks at {path}/books")
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["word"])
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = r["word"]
+    return books
+
+
+def pq_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode NEW vectors against the stored (frozen) codebooks and
+    append to the codes table — O(batch), the corpus is never rescanned;
+    append ≡ rebuilding the codes over corpus ∪ batch with the same
+    codebooks (pytest-asserted)."""
+    books = pq_read_books(batch.sparkSession, path)
+    pq_encode(batch, books, id_col, vec_col).write.mode("append").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index — reads codes only."""
+    books = pq_read_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_topk(codes, queries, books, k, id_col, vec_col)
