@@ -336,3 +336,37 @@ def stratified_hash_sample(
     )
     slot = rowhash_int32(*key_cols) % F.lit(denominator)
     return df.filter(slot < rate)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by the
+    engine-independent md5 key hash — the per-domain/per-source QUOTA step
+    of C4/RefinedWeb-style corpus pipelines (no single domain may dominate
+    the training mix). Selection is a pure function of (group, keys):
+    stable across partitionings and engines, and monotone in ``cap`` —
+    raising a quota only ADDS rows, it never swaps the already-selected
+    ones (the same nesting property as :func:`hash_sample`, so tuned
+    quotas produce incremental, not churned, corpora).
+
+    Scale shape: the ``row_number() <= cap`` filter compiles to Spark's
+    ``WindowGroupLimit`` physical node (SPARK-37099) — each map task keeps
+    a bounded top-``cap`` heap per group BEFORE the shuffle, so the
+    exchange moves O(groups × cap) rows per task, not the whole corpus,
+    and a hot domain never materializes beyond ``cap`` rows per task
+    (plan-shape pytest-pinned).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        rowhash_int32(*key_cols), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_gc_rn", F.row_number().over(w))
+        .filter(F.col("_gc_rn") <= cap)
+        .drop("_gc_rn")
+    )

@@ -272,3 +272,54 @@ def test_incremental_vocabulary_via_lake_cdf(spark, tmp_path):
     inc = sorted(tuple(r) for r in stats.collect())
     full = sorted(tuple(r) for r in vocabulary(t.read()).collect())
     assert inc == full
+
+
+def _cap_docs(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)]  # 3 groups x 20
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_group_cap_bounds_and_nests(spark):
+    from data_sync_tool_spark.operators.corpus import group_cap
+
+    df = _cap_docs(spark)
+    c5 = {r["doc_id"] for r in group_cap(df, "source", ["doc_id"], 5).collect()}
+    c10 = {r["doc_id"] for r in group_cap(df, "source", ["doc_id"], 10).collect()}
+    sizes = (
+        group_cap(df, "source", ["doc_id"], 5)
+        .groupBy("source").count().collect()
+    )
+    assert all(r["count"] == 5 for r in sizes) and len(sizes) == 3
+    assert c5 < c10  # raising the quota only ADDS rows
+    big = {r["doc_id"] for r in group_cap(df, "source", ["doc_id"], 100).collect()}
+    assert len(big) == 60  # cap above group size keeps everything
+
+
+def test_group_cap_deterministic_across_partitionings(spark):
+    from data_sync_tool_spark.operators.corpus import group_cap
+
+    df = _cap_docs(spark)
+    a = sorted(r["doc_id"] for r in group_cap(df.repartition(2), "source", ["doc_id"], 7).collect())
+    b = sorted(r["doc_id"] for r in group_cap(df.repartition(11), "source", ["doc_id"], 7).collect())
+    assert a == b
+
+
+def test_group_cap_uses_window_group_limit(spark):
+    """The rank filter must compile to WindowGroupLimit: map-side bounded
+    top-cap per group before the shuffle — a hot domain never materializes
+    beyond cap rows per task."""
+    from data_sync_tool_spark.operators.corpus import group_cap
+
+    df = _cap_docs(spark)
+    plan = (
+        group_cap(df, "source", ["doc_id"], 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_group_cap_validates_cap(spark):
+    from data_sync_tool_spark.operators.corpus import group_cap
+
+    with pytest.raises(ValueError):
+        group_cap(_cap_docs(spark), "source", ["doc_id"], 0)
