@@ -1657,6 +1657,24 @@ def q_emb_lsh_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train codebooks on the deterministic
+    hash-min sample, encode the corpus to m small ints per vector (~100×
+    compression at production dims — the representation a 10^10-vector
+    store actually scans), ADC top-k purely JVM-side over the codes.
+    Rows-only: PQ is lossy by construction (no exhaustive configuration
+    equals brute force); the code assignment, ADC math, recall vs brute
+    force, and frozen-codebook append path are pytest-pinned against
+    numpy references in test_pq."""
+    from .operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 8)
+    return _sorted(pq_topk(codes, q, books, k=5), "query_id", "neighbor_id")
+
+
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a NEW batch against a PERSISTED corpus index
     (dedupe each new crawl against everything kept, without rescanning the
@@ -1966,6 +1984,34 @@ ORACLE_CORPUS_FOLD = f"""
 """
 
 
+def q_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: at most 10 documents per source, selected by the
+    deterministic md5 key hash (the C4/RefinedWeb no-domain-dominates
+    step). Monotone in the cap and engine-independent, so the oracle
+    reproduces the exact selection, not just the counts."""
+    from .operators.corpus import group_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        group_cap(docs, "source", ["doc_id"], cap=10)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SOURCE_CAPPED = f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_dd_rowhash('doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
 def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixing weights (upsample en, downsample the rest):
     deterministic stratified sample — 50% en, 20% zh, 10% de, 5% default."""
@@ -2052,6 +2098,68 @@ ORACLE_DOC_UNIGRAM_CE = f"""
            round(sum(p.tf * -ln(l.term_freq / t.total)) / sum(p.tf), 6) AS ce_r6
     FROM per p JOIN lm l USING (token) CROSS JOIN tot t
     GROUP BY p.doc_id ORDER BY doc_id
+"""
+
+
+def q_doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the distributed hashed-feature logistic classifier on a token
+    rule (label = doc contains the token 'spark') and return its
+    PREDICTIONS. The corpus is linearly separable on a single-token rule,
+    so full-batch GD reaches training accuracy 1.0 with decision margins
+    far above float-sum-order drift — the predictions equal the rule
+    itself, which the SQL oracle states directly. Verifies the whole
+    distributed train→score path (feature hashing, per-iteration gradient
+    aggregate, Arrow scoring) end to end against ground truth."""
+    from .operators.classifier import hashed_features, score_logreg, train_logreg
+
+    docs = read_table(spark, sf_dir, "documents")
+    rule = F.array_contains(
+        F.split(F.regexp_replace(F.lower("text"), "[^0-9a-z]", " "), " "),
+        "spark",
+    )
+    lab = docs.withColumn("label", rule.cast("int"))
+    feats = hashed_features(lab, label_col="label", binarize=True)
+    w = train_logreg(feats, n_iters=30, lr=4.0)
+    return (
+        score_logreg(feats, w)
+        .select("doc_id", (F.col("p") >= 0.5).cast("int").alias("pred"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_QUALITY_LOGREG = f"""
+    WITH {_DD_TOKENS},
+    flags AS (SELECT doc_id, max(CASE WHEN token = 'spark' THEN 1 ELSE 0 END)
+              AS pred FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(f.pred, 0) AS INT) AS pred
+    FROM documents d LEFT JOIN flags f USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_doc_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality score from an explicit token→weight map (a distilled
+    or hand-audited model) — the pure-JVM apply path. Weights are dyadic
+    fractions so both engines compute the sum float-exactly."""
+    from .operators.classifier import token_weight_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = token_weight_score(
+        docs,
+        {"slow": -1.5, "fast": 2.0, "spark": 0.5, "merge": 0.25},
+        bias=0.125,
+    )
+    return out.select("doc_id", "score").orderBy("doc_id")
+
+
+ORACLE_DOC_TOKEN_WEIGHT_SCORE = f"""
+    WITH {_DD_TOKENS},
+    s AS (SELECT doc_id,
+                 sum(CASE token WHEN 'slow' THEN -1.5 WHEN 'fast' THEN 2.0
+                     WHEN 'spark' THEN 0.5 WHEN 'merge' THEN 0.25
+                     ELSE 0.0 END) AS sc
+          FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, round(coalesce(s.sc, 0.0) + 0.125, 6) AS score
+    FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -2534,6 +2642,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_lsh_topk": (q_emb_lsh_topk, None),
         "emb_lsh_topk_exhaustive": (q_emb_lsh_topk_exhaustive, ORACLE_EMB_TOPK),
         "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, ORACLE_EMB_TOPK),
+        "emb_pq_topk": (q_emb_pq_topk, None),
         "dedup_minhash_incremental": (q_dedup_minhash_incremental, ORACLE_DEDUP_INCREMENTAL),
         "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
         "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
@@ -2543,8 +2652,11 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_keywords": (q_doc_keywords, ORACLE_DOC_KEYWORDS),
         "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
+        "source_capped": (q_source_capped, ORACLE_SOURCE_CAPPED),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
         "doc_unigram_ce": (q_doc_unigram_ce, ORACLE_DOC_UNIGRAM_CE),
+        "doc_quality_logreg": (q_doc_quality_logreg, ORACLE_DOC_QUALITY_LOGREG),
+        "doc_token_weight_score": (q_doc_token_weight_score, ORACLE_DOC_TOKEN_WEIGHT_SCORE),
         "decontam_hits": (q_decontam_hits, ORACLE_DECONTAM_HITS),
         "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
         "pii_redaction": (q_pii_redaction, ORACLE_PII_REDACTION),
