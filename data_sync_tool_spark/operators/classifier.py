@@ -96,23 +96,35 @@ def hashed_features(
     return feats
 
 
+def _flatten(idxs, vals) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sparse batch → (row lens, flat indices, flat values)."""
+    lens = np.fromiter((len(a) for a in idxs), dtype=np.int64, count=len(idxs))
+    if lens.sum() == 0:
+        return lens, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    flat_i = np.concatenate([np.asarray(a, dtype=np.int64) for a in idxs])
+    flat_v = np.concatenate([np.asarray(a, dtype=np.float64) for a in vals])
+    return lens, flat_i, flat_v
+
+
+def _margins_np(
+    w: np.ndarray, lens: np.ndarray, flat_i: np.ndarray, flat_v: np.ndarray
+) -> np.ndarray:
+    if len(flat_i) == 0:
+        return np.zeros(len(lens))
+    contrib = w[flat_i] * flat_v
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    margins = np.add.reduceat(contrib, offsets)
+    margins[lens == 0] = 0.0  # reduceat repeats on empty slices
+    return margins
+
+
 def _p_udf(weights_bc, out: str = "residual"):
     """Arrow-batched margin/probability kernel against broadcast weights.
     ``out``: 'residual' → p - y (training), 'p' → probability (scoring)."""
 
     def _margins(idxs: pd.Series, vals: pd.Series) -> np.ndarray:
-        w = weights_bc.value
-        lens = np.fromiter((len(a) for a in idxs), dtype=np.int64, count=len(idxs))
-        if lens.sum() == 0:
-            return np.zeros(len(idxs))
-        flat_i = np.concatenate([np.asarray(a, dtype=np.int64) for a in idxs])
-        flat_v = np.concatenate([np.asarray(a, dtype=np.float64) for a in vals])
-        contrib = w[flat_i] * flat_v
-        offsets = np.zeros(len(idxs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        margins = np.add.reduceat(contrib, offsets)
-        margins[lens == 0] = 0.0  # reduceat repeats on empty slices
-        return margins
+        return _margins_np(weights_bc.value, *_flatten(idxs, vals))
 
     if out == "residual":
 
@@ -132,6 +144,27 @@ def _p_udf(weights_bc, out: str = "residual"):
     return prob
 
 
+def _make_grad_part(weights_bc, n_weights: int):
+    """Per-partition DENSE gradient partial (MLlib treeAggregate shape):
+    residuals and the full bincount-accumulated gradient in one numpy pass;
+    each partition emits exactly one length-``n_weights`` array row."""
+
+    def part(batches):
+        w = weights_bc.value
+        g = np.zeros(n_weights, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens, fi, fv = _flatten(pdf["idx"], pdf["val"])
+            m = _margins_np(w, lens, fi, fv)
+            r = 1.0 / (1.0 + np.exp(-m)) - pdf["_y"].to_numpy(dtype=np.float64)
+            if len(fi):
+                g += np.bincount(fi, weights=fv * np.repeat(r, lens), minlength=n_weights)
+        yield pd.DataFrame({"g": [g.tolist()]})
+
+    return part
+
+
 def train_logreg(
     feats: DataFrame,
     label_col: str = "label",
@@ -139,11 +172,24 @@ def train_logreg(
     n_iters: int = 30,
     lr: float = 1.0,
     l2: float = 0.0,
+    dense_threshold: int = 1 << 18,
 ) -> np.ndarray:
     """Full-batch GD over a ``hashed_features`` table → weight vector of
     ``n_features + 1`` float64 (last entry = bias). One cached-table pass
-    and one bounded aggregate per iteration; deterministic up to
-    float-sum ordering."""
+    per iteration; deterministic up to float-sum ordering.
+
+    Two gradient shapes, chosen by feature-vector size:
+
+    - **dense partials** (default, ``n_features + 1 ≤ dense_threshold``):
+      each partition emits ONE length-(n_features+1) gradient array from a
+      single numpy pass (``mapInPandas`` — the MLlib ``treeAggregate``
+      shape); the driver sums the partials. Zero shuffle, one job per
+      iteration; driver traffic = partitions × 8·n_features bytes.
+    - **exploded hash aggregate** (wide models): (bucket, val·residual)
+      pairs partially aggregated map-side, so no task nor the driver ever
+      holds a dense vector per partition — shuffle O(n_features × tasks)
+      partials, result fetched via Arrow.
+    """
     spark = feats.sparkSession
     feats = feats.select("idx", "val", F.col(label_col).cast("double").alias("_y"))
     feats.persist()
@@ -151,19 +197,44 @@ def train_logreg(
         n = feats.count()
         if n == 0:
             raise ValueError("cannot train on an empty feature table")
+        # the iteration loop launches n_iters small jobs over this table; at
+        # modest n the fixed per-task cost (scheduling + Arrow worker round
+        # trip) dominates each step, so pack the cache into ~50k-row
+        # partitions. Big corpora keep their full parallelism untouched.
+        nparts = max(1, min(feats.rdd.getNumPartitions(), (n + 49_999) // 50_000))
+        if nparts < feats.rdd.getNumPartitions():
+            packed = feats.repartition(nparts)
+            packed.persist().count()
+            feats.unpersist()
+            feats = packed
         w = np.zeros(n_features + 1, dtype=np.float64)
+        dense = n_features + 1 <= dense_threshold
         for _ in range(n_iters):
             bc = spark.sparkContext.broadcast(w)
-            res = _p_udf(bc, "residual")
-            grad_rows = (
-                feats.withColumn("_r", res(F.col("idx"), F.col("val"), F.col("_y")))
-                .select(F.explode(F.arrays_zip("idx", "val")).alias("f"), "_r")
-                .groupBy(F.col("f.idx").alias("i"))
-                .agg(F.sum(F.col("f.val") * F.col("_r")).alias("g"))
-                .collect()
-            )
-            g = np.zeros_like(w)
-            g[[r["i"] for r in grad_rows]] = [r["g"] for r in grad_rows]
+            if dense:
+                parts = feats.mapInPandas(
+                    _make_grad_part(bc, n_features + 1), "g array<double>"
+                ).toPandas()
+                g = (
+                    np.sum(
+                        np.asarray([p for p in parts["g"].to_numpy()]), axis=0
+                    )
+                    if len(parts)
+                    else np.zeros_like(w)
+                )
+            else:
+                res = _p_udf(bc, "residual")
+                # Arrow toPandas, not collect(): the gradient is O(n_features)
+                # rows; per-Row materialization costs more than the job itself
+                gpdf = (
+                    feats.withColumn("_r", res(F.col("idx"), F.col("val"), F.col("_y")))
+                    .select(F.explode(F.arrays_zip("idx", "val")).alias("f"), "_r")
+                    .groupBy(F.col("f.idx").alias("i"))
+                    .agg(F.sum(F.col("f.val") * F.col("_r")).alias("g"))
+                    .toPandas()
+                )
+                g = np.zeros_like(w)
+                g[gpdf["i"].to_numpy(dtype=np.int64)] = gpdf["g"].to_numpy()
             g /= n
             if l2:
                 reg = l2 * w
