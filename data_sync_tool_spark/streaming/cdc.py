@@ -147,6 +147,25 @@ def install_shutdown_handler(
     return restore
 
 
+VALID_OPS = ("insert", "update", "upsert", "delete")
+
+
+def change_event_reasons(
+    key_cols: list[str], valid_ops: tuple[str, ...] = VALID_OPS
+) -> F.Column:
+    """Array of validation-failure reasons for a change event — empty for a
+    valid event. Pure-JVM expressions (one pass, codegen-friendly):
+    null/missing key columns, an op outside the merge vocabulary, and a
+    null or negative LSN (the LWW resolver cannot order such an event)."""
+    checks = [
+        F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in key_cols
+    ] + [
+        F.when(~F.col("op").isin(*valid_ops) | F.col("op").isNull(), F.lit("bad_op")),
+        F.when(F.col("lsn").isNull() | (F.col("lsn") < 0), F.lit("bad_lsn")),
+    ]
+    return F.array_compact(F.array(*checks))
+
+
 class CdcPipeline:
     """One source→sink CDC pipeline (reference ``PipelineConfig`` analogue,
     ``/root/reference/core/config.py:266-286``)."""
@@ -169,6 +188,7 @@ class CdcPipeline:
         compact_cluster_by_key: bool = False,
         compact_max_file_rows: int | None = None,
         catchup_from_lsn: int | None = None,
+        dlq_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.source_glob = source_glob
@@ -199,6 +219,11 @@ class CdcPipeline:
         # scan (see bootstrap()). Persisted implicitly: on restart, read it
         # back from the bootstrap commit's lineage via resume_catchup_lsn().
         self.catchup_from_lsn = catchup_from_lsn
+        # dead-letter queue: malformed change events (null keys, unknown op,
+        # unorderable lsn) are quarantined to this parquet dir instead of
+        # poisoning the merge or being dropped silently. None = strict mode
+        # (malformed rows flow to the merge and fail loudly there).
+        self.dlq_dir = dlq_dir
         self.metrics = CdcMetrics()
 
     def _reader(self) -> DataFrame:
@@ -275,6 +300,24 @@ class CdcPipeline:
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         extra: dict[str, Any] = {"epoch_id": epoch_id}
+        quarantined = 0
+        annotated = None
+        if self.dlq_dir is not None:
+            # one validation pass, then split. The batch is persisted so the
+            # quarantine write and the merge don't re-read the source files.
+            reasons = change_event_reasons(self.table.key_cols)
+            annotated = batch_df.withColumn("_dlq_reason", reasons).persist()
+            bad = annotated.filter(F.size("_dlq_reason") > 0)
+            quarantined = bad.count()
+            if quarantined:
+                (
+                    bad.withColumn("_dlq_epoch", F.lit(int(epoch_id)))
+                    .withColumn("_dlq_pipeline", F.lit(self.name))
+                    .write.mode("append")
+                    .parquet(self.dlq_dir)
+                )
+            batch_df = annotated.filter(F.size("_dlq_reason") == 0).drop("_dlq_reason")
+            extra["quarantined"] = quarantined
         if self.track_offsets:
             # one cheap agg on the (already materialized-in-plan) batch:
             # offset-range lineage per north star. Skippable for max
@@ -284,24 +327,31 @@ class CdcPipeline:
                 F.count(F.lit(1)).alias("n"),
             ).first()
             if rng["n"] == 0:
+                if annotated is not None:
+                    annotated.unpersist()
                 return  # empty epoch (availableNow tail): nothing to commit
             extra |= {"offset_min": rng["lo"], "offset_max": rng["hi"]}
             input_rows = rng["n"]
         else:
             input_rows = -1
-        res = self.table.merge_into(
-            batch_df,
-            batch_id=f"{self.name}:{epoch_id}",
-            strategy=self.merge_strategy,
-            allow_delete=self.allow_delete,
-            lineage_extra=extra,
-        )
+        try:
+            res = self.table.merge_into(
+                batch_df,
+                batch_id=f"{self.name}:{epoch_id}",
+                strategy=self.merge_strategy,
+                allow_delete=self.allow_delete,
+                lineage_extra=extra,
+            )
+        finally:
+            if annotated is not None:
+                annotated.unpersist()
         self.metrics.batches.append(
             {
                 "epoch_id": epoch_id,
                 "applied": res.applied,
                 "input_rows": int(input_rows) if input_rows and input_rows > 0 else 0,
                 "rows_written": res.rows_written,
+                "quarantined": quarantined,
                 "seconds": time.time() - t0,
             }
         )

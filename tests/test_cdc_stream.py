@@ -182,3 +182,59 @@ def test_graceful_shutdown_drains_and_resumes(spark, tmp_path, stream_dir, expec
                         str(tmp_path / "ckpt"), name="drain")
     pipe2.run_available()
     _assert_same(table.read().drop("_lsn"), expected_final)
+
+
+def test_dead_letter_queue_quarantines_malformed_events(spark, tmp_path):
+    """Malformed change events (null key, unknown op, null/negative lsn) are
+    split to the DLQ parquet with machine-readable reasons; the table
+    converges to the replay of the VALID events only, and lineage/metrics
+    carry the quarantine counts."""
+    import pyspark.sql.types as T
+
+    from data_sync_tool_spark.streaming.cdc import CHANGE_STREAM_SCHEMA
+
+    d = tmp_path / "binlog"
+    d.mkdir()
+    ch = changelog_stream(spark, 2_000, n_convs=40, max_turns=8)
+    bad_rows = [
+        (None, 1, "user", "null conv", None, None, "insert", 99_991),
+        ("conv-bad", None, "user", "null turn", None, None, "insert", 99_992),
+        ("conv-bad", 2, "user", "unknown op", None, None, "sideload", 99_993),
+        ("conv-bad", 3, "user", "null lsn", None, None, "insert", None),
+        ("conv-bad", 4, "user", "negative lsn", None, None, "insert", -7),
+    ]
+    bad = spark.createDataFrame(bad_rows, CHANGE_STREAM_SCHEMA)
+    # malformed rows land inside the 2nd chunk, mid-stream
+    chunks = [ch.filter(F.col("lsn") < 1_000), ch.filter(F.col("lsn") >= 1_000).union(bad)]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(f"{d}/chunk-{i:03d}")
+    table = LakeTable(spark, str(tmp_path / "tbl"), ["conv_id", "turn_idx"], n_buckets=8)
+    dlq = str(tmp_path / "dlq")
+    pipe = CdcPipeline(
+        spark, f"{d}/chunk-*", table, str(tmp_path / "ckpt"), name="dlqtest",
+        dlq_dir=dlq,
+    )
+    m = pipe.run_available()
+    # table state: exactly the valid-event replay — bad rows neither merged
+    # nor able to poison the batch
+    expect = replay_final_state(ch, ["conv_id", "turn_idx"])
+    got = table.read().drop("_lsn")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+    # DLQ contents: all five rows, each with its precise reason
+    q = spark.read.parquet(dlq)
+    reasons = {r["text"]: list(r["_dlq_reason"]) for r in q.collect()}
+    assert reasons == {
+        "null conv": ["null_key:conv_id"],
+        "null turn": ["null_key:turn_idx"],
+        "unknown op": ["bad_op"],
+        "null lsn": ["bad_lsn"],
+        "negative lsn": ["bad_lsn"],
+    }
+    assert {r["_dlq_pipeline"] for r in q.collect()} == {"dlqtest"}
+    assert sum(b.get("quarantined", 0) for b in m.batches) == 5
+    # lineage rows carry the per-epoch quarantine count
+    lin = [
+        table._load_manifest(v).get("lineage", {})
+        for v in range(1, table.current_version() + 1)
+    ]
+    assert sum(int(l.get("quarantined", 0)) for l in lin if l) == 5
