@@ -44,6 +44,49 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _lloyd(x: np.ndarray, k: int, n_iters: int) -> np.ndarray:
+    """Driver-local deterministic k-means over a bounded sample: seeds are
+    the first k rows (hash-min order), fixed iteration count, empty cells
+    keep their previous codeword."""
+    cb = x[:k].copy()
+    for _ in range(max(0, n_iters)):
+        d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        nearest = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = x[nearest == c]
+            if len(members):
+                cb[c] = members.mean(axis=0)
+    return cb
+
+
+def _hash_min_sample(
+    corpus: DataFrame, n_sample: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic bounded sample (TakeOrdered by key hash — one map-side
+    top-K job, never a full sort), L2-normalized."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    return _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+
+
+def _subspace_books(x: np.ndarray, m: int, k: int, n_iters: int) -> np.ndarray:
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        books[sub] = _lloyd(x[:, sub * dsub:(sub + 1) * dsub], k, n_iters)
+    return books
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -58,35 +101,8 @@ def pq_train(
     ``ivf_assign``: the ``k × sample_per_code`` hash-smallest rows train,
     the k hash-smallest are the initial codewords per subspace, empty
     cells keep their previous codeword."""
-    n_sample = max(k, k * sample_per_code)
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(n_sample)
-        .collect()
-    )
-    if not sample_rows:
-        raise ValueError("cannot train PQ codebooks on an empty corpus")
-    smat = _normalize(np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64))
-    dim = smat.shape[1]
-    if dim % m:
-        raise ValueError(f"embedding dim {dim} not divisible into m={m} subspaces")
-    dsub = dim // m
-    books = np.empty((m, k, dsub), dtype=np.float64)
-    for sub in range(m):
-        x = smat[:, sub * dsub:(sub + 1) * dsub]
-        cb = x[:k].copy()
-        for _ in range(max(0, n_iters)):
-            # Lloyd step over the sample: nearest codeword by L2 → cell mean
-            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = x[nearest == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
-        books[sub] = cb
-    return books
+    smat = _hash_min_sample(corpus, max(k, k * sample_per_code), id_col, vec_col)
+    return _subspace_books(smat, m, k, n_iters)
 
 
 def _encode_udf(books_bc):
@@ -301,3 +317,228 @@ def pq_topk_indexed(
     books = pq_read_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, queries, books, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------------- IVF-PQ
+# The composed 10^10-vector serving shape (Jégou et al. §IV; FAISS
+# IndexIVFPQ): coarse IVF partitioning bounds the scan to n_probe posting
+# lists, PQ RESIDUAL codes (vector − its list centroid) bound the bytes per
+# scanned row. ADC decomposes the inner product as
+#   q·v ≈ q·c_list + Σ_sub lut_q[sub][code_sub],
+# so each (query, probed list) pair needs one scalar (q·c) plus one m×k
+# lookup table over the residual codebooks — both computed driver-side from
+# the tiny centroid/query matrices and shipped on the broadcast side of the
+# posting-list join. The corpus side moves m small ints per row, read from
+# ONLY the probed list_id= partitions.
+
+
+def _rescode_udf(books_bc, cmat_bc):
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vs: pd.Series, lists: pd.Series) -> pd.Series:
+        books, cmat = books_bc.value, cmat_bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = _normalize(np.asarray(vs.tolist(), dtype=np.float64))
+        res = mat - cmat[lists.to_numpy(dtype=np.int64)]
+        m, k, dsub = books.shape
+        codes = np.empty((len(res), m), dtype=np.int32)
+        for sub in range(m):
+            x = res[:, sub * dsub:(sub + 1) * dsub]
+            d2 = -2.0 * (x @ books[sub].T) + (books[sub] ** 2).sum(axis=1)[None, :]
+            codes[:, sub] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+    sample_per_code: int = 64,
+) -> None:
+    """Build a persisted IVF-PQ index: ``{path}/codes`` = (id, codes)
+    parquet PARTITIONED BY list_id, ``{path}/centroids`` = the coarse
+    quantizer, ``{path}/books`` = residual codebooks. Training cost is one
+    bounded sample collect + two lazy Arrow passes (assign, encode) over
+    the corpus — never an iteration over it."""
+    from .similarity import ivf_assign
+
+    assigned, centroids_df = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, n_iters
+    )
+    spark = corpus.sparkSession
+    crows = centroids_df.orderBy("list_id").collect()
+    cmat = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    # residual codebooks: sample assigned driver-side against the same
+    # centroids the corpus pass uses — identical argmax, so sample residuals
+    # are distributed like corpus residuals
+    smat = _hash_min_sample(corpus, max(k, k * sample_per_code), id_col, vec_col)
+    sres = smat - cmat[np.argmax(smat @ cmat.T, axis=1)]
+    books = _subspace_books(sres, m, k, n_iters)
+
+    sc = spark.sparkContext
+    enc = _rescode_udf(sc.broadcast(books), sc.broadcast(cmat))
+    (
+        assigned.select(
+            F.col(id_col), F.col("list_id"),
+            enc(F.col(vec_col), F.col("list_id")).alias("codes"),
+        )
+        .repartition(max(1, n_centroids // 4), F.col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
+    )
+    centroids_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, kk, dsub = books.shape
+    spark.createDataFrame(
+        [
+            (sub, c, [float(x) for x in books[sub, c]])
+            for sub in range(mm)
+            for c in range(kk)
+        ],
+        "sub int, code int, word array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def _load_ivfpq(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    if not crows:
+        raise ValueError(f"no IVF centroids at {path}/centroids")
+    cmat = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    return cmat, pq_read_books(spark, path)
+
+
+def ivfpq_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign + residual-encode NEW vectors against the FROZEN stored
+    centroids/codebooks and append into the partitioned posting lists —
+    O(batch), corpus never rescanned, append ≡ rebuild (pytest-pinned)."""
+    from .similarity import _assign_udf
+
+    spark = batch.sparkSession
+    cmat, books = _load_ivfpq(spark, path)
+    sc = spark.sparkContext
+    assigned = batch.withColumn(
+        "list_id",
+        _assign_udf(cmat, np.arange(len(cmat), dtype=np.int64))(F.col(vec_col)),
+    )
+    enc = _rescode_udf(sc.broadcast(books), sc.broadcast(cmat))
+    (
+        assigned.select(
+            F.col(id_col), F.col("list_id"),
+            enc(F.col(vec_col), F.col("list_id")).alias("codes"),
+        )
+        .repartition(max(1, len(cmat) // 4), F.col("list_id"))
+        .write.partitionBy("list_id").mode("append").parquet(f"{path}/codes")
+    )
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    oversample: int = 1,
+    refine: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index. Probe selection and the
+    per-(query, list) LUTs are computed driver-side from the tiny centroid
+    matrix (n_queries × n_probe tables of m×k doubles) and broadcast; the
+    posting-list scan reads ONLY the probed ``list_id=`` partitions and
+    moves codes, never vectors. With ``refine`` (a DataFrame carrying the
+    raw vectors) the ADC top ``k × oversample`` candidates are exactly
+    re-ranked by cosine — the candidates-then-attach shape; without it the
+    ADC scores rank directly. Returns (query_id, neighbor_id, score)."""
+    cmat, books = _load_ivfpq(spark, path)
+    m, kk, dsub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, score double")
+    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    qc = qmat @ cmat.T  # (n_queries, n_centroids)
+    n_probe = min(n_probe, len(cmat))
+    probe_rows = []
+    for qi, row in enumerate(q_rows):
+        # the LUT depends on (query, residual codebooks) only — one per query
+        lut = [
+            [float(x) for x in qmat[qi, sub * dsub:(sub + 1) * dsub] @ books[sub].T]
+            for sub in range(m)
+        ]
+        # ties broken by list_id: argsort on (-score, list) via stable lexsort
+        order = np.lexsort((np.arange(len(cmat)), -qc[qi]))[:n_probe]
+        for lid in order:
+            probe_rows.append((row[id_col], int(lid), float(qc[qi, lid]), lut))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, list_id int, qc double, lut array<array<double>>",
+    )
+    probed = sorted({r[1] for r in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probed)  # partition-pruned scan
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes", "list_id")
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("qc")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("lut"),
+                        lambda c, lut: F.element_at(lut, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    topn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * (oversample if refine is not None else 1))
+        .drop("rn")
+    )
+    if refine is None:
+        return topn
+    from ..functions.vectors import cosine_prenormed, norm
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = refine.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    exact = (
+        topn.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_prenormed(F.col("qv"), F.col("cv"),
+                                     F.col("qn"), F.col("cn")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k).drop("rn")

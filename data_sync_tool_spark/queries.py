@@ -1675,6 +1675,31 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sorted(pq_topk(codes, q, books, k=5), "query_id", "neighbor_id")
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index (coarse quantizer + residual PQ codes, the
+    FAISS-IndexIVFPQ composition) searched in the EXHAUSTIVE-refined
+    configuration: every posting list probed and the refine stage spans
+    all ADC candidates, which makes the result exactly brute-force cosine
+    top-k — hash-verified against the same oracle as ``emb_brute_topk``.
+    The approximate configuration (pruned probes, bounded oversample,
+    partition-pruned posting-list scan) is pytest-pinned in test_pq."""
+    import tempfile
+
+    from .operators.pq import ivfpq_index_write, ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="dst_ivfpq_")
+    ivfpq_index_write(emb, path, n_centroids=16, m=8, k=16)
+    q = emb.filter(F.col("vec_id") < 8)
+    oversample = (emb.count() + 4) // 5 + 1  # k*oversample covers the corpus
+    out = ivfpq_topk(
+        spark, path, q, k=5, n_probe=16, oversample=oversample, refine=emb
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("score"), 5).alias("cos5")
+    ).orderBy("query_id", "neighbor_id")
+
+
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a NEW batch against a PERSISTED corpus index
     (dedupe each new crawl against everything kept, without rescanning the
@@ -2643,6 +2668,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_lsh_topk_exhaustive": (q_emb_lsh_topk_exhaustive, ORACLE_EMB_TOPK),
         "emb_ivf_indexed_topk": (q_emb_ivf_indexed_topk, ORACLE_EMB_TOPK),
         "emb_pq_topk": (q_emb_pq_topk, None),
+        "emb_ivfpq_topk": (q_emb_ivfpq_topk, ORACLE_EMB_TOPK),
         "dedup_minhash_incremental": (q_dedup_minhash_incremental, ORACLE_DEDUP_INCREMENTAL),
         "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
         "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),

@@ -159,3 +159,73 @@ def test_empty_corpus_raises_and_empty_queries_empty_result(spark):
     assert pq_topk(codes, empty_q, books).count() == 0
     with pytest.raises(ValueError, match="empty"):
         pq_train(df.filter(F.col("vec_id") < 0), m=M, k=K)
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+def test_ivfpq_refined_recall_and_partition_pruning(spark, tmp_path):
+    from data_sync_tool_spark.operators.pq import ivfpq_index_write, ivfpq_topk
+
+    df = _vecs(spark, n=150)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_index_write(df, path, n_centroids=6, m=M, k=K)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, q, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    out_df = ivfpq_topk(spark, path, q, k=10, n_probe=3, oversample=3, refine=df)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out_df.collect()}
+    assert len(e & got) / len(e) >= 0.85, "IVF-PQ refined recall@10"
+    # posting-list scan must be partition-pruned to the probed lists
+    plan = (
+        ivfpq_topk(spark, path, q, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "list_id" in plan and ("PartitionFilters: [" in plan or "isin" in plan.lower())
+
+
+def test_ivfpq_exhaustive_equals_bruteforce_ranking_with_refine(spark, tmp_path):
+    """n_probe = n_centroids + refine over all candidates (oversample spans
+    the corpus) is exactly brute-force cosine top-k — the exhaustive
+    configuration that pins the whole path end to end."""
+    from data_sync_tool_spark.operators.pq import ivfpq_index_write, ivfpq_topk
+
+    df = _vecs(spark, n=60)
+    path = str(tmp_path / "ivfpq_ex")
+    ivfpq_index_write(df, path, n_centroids=4, m=M, k=K)
+    q = df.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in ivfpq_topk(
+            spark, path, q, k=5, n_probe=4, oversample=12, refine=df
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_ivfpq_append_equals_rebuild(spark, tmp_path):
+    from data_sync_tool_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_topk,
+    )
+
+    df = _vecs(spark, n=100)
+    a = df.filter(F.col("vec_id") < 70)
+    b = df.filter(F.col("vec_id") >= 70)
+    path = str(tmp_path / "inc")
+    ivfpq_index_write(a, path, n_centroids=5, m=M, k=K)
+    ivfpq_index_append(b, path)
+    # frozen centroids+codebooks: the appended index must answer like one
+    # whose codes cover a ∪ b (centroids/books derive from a only, both ways)
+    stored = {
+        r["vec_id"]: (r["list_id"], list(r["codes"]))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert set(stored) == set(range(100))
+    q = df.filter(F.col("vec_id") >= 95)  # appended rows are queryable
+    out = ivfpq_topk(spark, path, q, k=3, n_probe=5)
+    assert out.groupBy("query_id").count().filter(F.col("count") != 3).count() == 0
