@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_sync_tool_spark.operators.classifier import (
     hashed_features,
@@ -122,3 +123,54 @@ def test_empty_feature_table_raises(spark):
     feats = hashed_features(df, label_col="label", n_features=D)
     with pytest.raises(ValueError, match="empty"):
         train_logreg(feats, n_features=D, n_iters=1)
+
+
+def test_incremental_scoring_via_lake_change_feed(spark, tmp_path):
+    """Continuous quality scoring: train once on the bootstrap corpus, then
+    score ONLY each ingest batch's new/changed documents from the lake's
+    change feed — scores for the delta must equal what a full-table rescore
+    produces for those docs (same frozen weights), so historical text is
+    never re-featurized. The deploy shape for the classifier: model frozen,
+    features+scores computed per delta."""
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(
+        spark, str(tmp_path / "docs"), ["doc_id"], n_buckets=4,
+        merge_mode="mor", checksum=False,
+    )
+    boot = _docs(spark)
+    t.merge_into(
+        boot.selectExpr("doc_id", "text", "label", "'upsert' as op",
+                        "doc_id as lsn"),
+        batch_id="boot",
+    )
+    feats = hashed_features(t.read(), label_col="label", n_features=D, binarize=True)
+    w = train_logreg(feats, n_features=D, n_iters=40, lr=4.0)  # frozen model
+    last = t.read().agg(F.max("_lsn")).first()[0]
+    new_rows = [
+        (1000, "goodword quality alpha " * 3, 1),
+        (1001, "spamword spamword beta " * 3, 0),
+    ]
+    t.merge_into(
+        spark.createDataFrame(new_rows, "doc_id long, text string, label int")
+        .selectExpr("doc_id", "text", "label", "'upsert' as op", "doc_id + 100000 as lsn"),
+        batch_id="delta",
+    )
+    delta = t.changes_since(last).filter(F.col("op") == "upsert")
+    assert delta.count() == 2  # feed carries only the new batch
+    delta_scores = {
+        r["doc_id"]: r["p"]
+        for r in score_logreg(
+            hashed_features(delta, n_features=D, binarize=True), w
+        ).collect()
+    }
+    full_scores = {
+        r["doc_id"]: r["p"]
+        for r in score_logreg(
+            hashed_features(t.read(), label_col="label", n_features=D, binarize=True), w
+        ).collect()
+    }
+    assert set(delta_scores) == {1000, 1001}
+    for k, v in delta_scores.items():
+        assert v == pytest.approx(full_scores[k], abs=1e-12)
+    assert delta_scores[1000] > 0.5 > delta_scores[1001]  # model generalizes
