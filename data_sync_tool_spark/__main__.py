@@ -51,12 +51,15 @@ def main(argv: list[str] | None = None) -> int:
     ix = sub.add_parser(
         "index", help="build a persisted dedup/ANN index (build-once / "
         "query-many) from a parquet table")
-    ix.add_argument("--kind", required=True, choices=["minhash", "ivf"])
+    ix.add_argument("--kind", required=True,
+                    choices=["minhash", "ivf", "pq", "ivfpq"])
     ix.add_argument("--input", required=True, help="input parquet path")
     ix.add_argument("--output", required=True, help="index root dir")
     ix.add_argument("--id-col", default=None)
     ix.add_argument("--column", default=None, help="text/embedding column")
     ix.add_argument("--n-centroids", type=int, default=16)
+    ix.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
+    ix.add_argument("--pq-k", type=int, default=16, help="PQ codewords/subspace")
 
     rb = sub.add_parser(
         "rollback", help="reinstate a prior table version as a new commit "
@@ -116,11 +119,26 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.output,
                 text_col=args.column or "text", id_col=args.id_col or "doc_id",
             )
-        else:
+        elif args.kind == "ivf":
             from .operators.similarity import ivf_index_write
 
             ivf_index_write(
                 df, args.output, n_centroids=args.n_centroids,
+                id_col=args.id_col or "vec_id", vec_col=args.column or "embedding",
+            )
+        elif args.kind == "pq":
+            from .operators.pq import pq_index_write
+
+            pq_index_write(
+                df, args.output, m=args.pq_m, k=args.pq_k,
+                id_col=args.id_col or "vec_id", vec_col=args.column or "embedding",
+            )
+        else:  # ivfpq
+            from .operators.pq import ivfpq_index_write
+
+            ivfpq_index_write(
+                df, args.output, n_centroids=args.n_centroids,
+                m=args.pq_m, k=args.pq_k,
                 id_col=args.id_col or "vec_id", vec_col=args.column or "embedding",
             )
         print(json.dumps({"kind": args.kind, "output": args.output, "rows": df.count()}))
