@@ -2037,6 +2037,51 @@ ORACLE_SOURCE_CAPPED = f"""
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation slice: linear quality score (distilled
+    token→weight model) → threshold filter → per-source quota — the
+    score/filter/cap spine of a C4-style pipeline as ONE composed plan,
+    hash-verified end to end (each stage also has its own oracle query)."""
+    from .operators.classifier import token_weight_score
+    from .operators.corpus import group_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = token_weight_score(
+        docs, {"slow": -1.5, "fast": 2.0, "spark": 0.5, "merge": 0.25},
+        bias=0.125,
+    )
+    kept = scored.filter(F.col("score") >= 0.5)
+    return (
+        group_cap(kept, "source", ["doc_id"], cap=5)
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_CURATION = f"""
+    WITH {_DD_TOKENS},
+    s AS (SELECT doc_id,
+                 sum(CASE token WHEN 'slow' THEN -1.5 WHEN 'fast' THEN 2.0
+                     WHEN 'spark' THEN 0.5 WHEN 'merge' THEN 0.25
+                     ELSE 0.0 END) AS sc
+          FROM toks GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             round(coalesce(s.sc, 0.0) + 0.125, 6) AS score
+      FROM documents d LEFT JOIN s USING (doc_id)
+    ),
+    kept AS (SELECT * FROM scored WHERE score >= 0.5),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_dd_rowhash('doc_id')}, doc_id
+             ) AS rn
+      FROM kept
+    )
+    SELECT doc_id, source, score FROM ranked WHERE rn <= 5 ORDER BY doc_id
+"""
+
+
 def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixing weights (upsample en, downsample the rest):
     deterministic stratified sample — 50% en, 20% zh, 10% de, 5% default."""
@@ -2679,6 +2724,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
         "source_capped": (q_source_capped, ORACLE_SOURCE_CAPPED),
+        "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
         "doc_unigram_ce": (q_doc_unigram_ce, ORACLE_DOC_UNIGRAM_CE),
         "doc_quality_logreg": (q_doc_quality_logreg, ORACLE_DOC_QUALITY_LOGREG),
