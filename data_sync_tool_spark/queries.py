@@ -2655,6 +2655,52 @@ def _oracle_training_filter() -> str:
     """
 
 
+def q_lake_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake→lake follower (sources/sync.py — the reference's source→target
+    sync run loop, core/sync.py, re-expressed over table change feeds): the
+    leader ingests the change stream in 3 MoR batches; after every leader
+    commit the follower drains one pruned ``changes_since`` step, keeping
+    its watermark atomically in its own manifest. The follower's live state
+    must equal the LWW final state of the stream — deletes propagated,
+    leader buckets (16) re-hashed into follower buckets (8)."""
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+    from .sources.sync import sync_until_current
+
+    ch = changelog(spark, sf_dir)
+    src = LakeTable(
+        spark, tempfile.mkdtemp(prefix="sync_src_"), ["conv_id", "turn_idx"],
+        n_buckets=16, merge_mode="mor",
+    )
+    dst = LakeTable(
+        spark, tempfile.mkdtemp(prefix="sync_dst_"), ["conv_id", "turn_idx"],
+        n_buckets=8, merge_mode="mor",
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        src.merge_into(batch, batch_id=f"sync-b{i}")
+        sync_until_current(src, dst)
+    return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _oracle_lake_sync() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
@@ -2738,4 +2784,5 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "packed_sequences": (q_packed_sequences, ORACLE_PACKED_SEQUENCES),
         "bpe_token_stats": (q_bpe_token_stats, None),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
+        "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
     }
