@@ -2687,6 +2687,55 @@ def q_lake_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_point_lookup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup serving path: replay the change stream into a
+    bloom-indexed MoR lake (no compaction — deltas pending), then fetch a
+    deterministic ~1/16 of the conversations via ``read(keys=[...])`` —
+    bucket pruning + per-file key blooms + exact filter + LWW resolve. The
+    result must equal the LWW final state restricted to those convs."""
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="ptq_"), ["conv_id", "turn_idx"],
+        n_buckets=16, merge_mode="mor", bloom_filters=True,
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 4)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"pt-b{i}")
+    keys = [
+        r["conv_id"]
+        for r in ch.select("conv_id").distinct()
+        .filter(F.md5(F.col("conv_id")).startswith("0")).collect()
+    ]
+    return (
+        table.read(keys=keys)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _oracle_point_lookup() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete' AND md5(conv_id) LIKE '0%'
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def _oracle_lake_sync() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -2785,4 +2834,5 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "bpe_token_stats": (q_bpe_token_stats, None),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
         "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
+        "point_lookup_turns": (q_point_lookup_turns, _oracle_point_lookup()),
     }

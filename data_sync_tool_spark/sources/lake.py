@@ -126,6 +126,19 @@ _OBSERVE_DIGEST_MAX_BUCKETS = 256
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Per-file key bloom filters (opt-in, ``bloom_filters=True``): point-lookup
+# file skipping WITHIN a bucket — the index zone maps cannot provide for
+# hash-random keys. Positions are computed once at _BLOOM_M_MAX resolution
+# and folded (pow2 halving ORs) down to the smallest size meeting the
+# false-positive target for the file's row count, so tiny delta files carry
+# tiny blooms. k hash functions via double hashing over xxhash64 — the SAME
+# engine-side expressions serve build and probe, so there is no Python
+# reimplementation to drift.
+_BLOOM_K = 3
+_BLOOM_M_MAX = 1 << 17  # 16 KiB of bits; exact fp target up to ~10k keys/file
+_BLOOM_M_MIN = 1 << 10
+_BLOOM_BITS_PER_KEY = 13  # m ≈ 13n with k=3 → fp ≈ 1%
+
 
 @dataclass
 class MergeResult:
@@ -150,6 +163,7 @@ class LakeTable:
         merge_mode: str = "cow",
         track_stats: bool = True,
         idempotence_window: int = 10_000,
+        bloom_filters: bool = False,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
@@ -162,6 +176,10 @@ class LakeTable:
         # per-batch op-count lineage costs one extra scan of the batch;
         # max-throughput ingest turns it off (offsets/rows still recorded)
         self.track_stats = track_stats
+        # opt-in per-file key blooms: each commit pays one keys-only
+        # column-pruned read-back of its NEW files (O(batch)); point-lookup
+        # reads then skip bucket files that cannot contain the probed keys
+        self.bloom_filters = bloom_filters
         # exactly-once memory: how many recent batch_ids each manifest
         # retains. Bounded so manifests stay O(1) over 10^6 commits; safe
         # because a checkpointed source can only re-deliver batches within
@@ -259,6 +277,134 @@ class LakeTable:
             F.xxhash64(F.col(self.key_cols[0]).cast("string")), F.lit(self.n_buckets)
         ).cast("int")
 
+    # ----------------------------------------------------------- key blooms
+    def _bloom_positions(self, key: F.Column) -> list[F.Column]:
+        """The k bloom bit positions of ``key`` at ``_BLOOM_M_MAX`` resolution,
+        as engine-side expressions (double hashing g_i = h1 + i*h2 over
+        xxhash64 — Kirsch-Mitzenmacher). Build and probe share THESE exact
+        expressions, so the two sides can never disagree. Operands are
+        reduced mod m before combining — no ANSI long overflow."""
+        ks = key.cast("string")
+        b1 = F.pmod(F.xxhash64(ks), F.lit(_BLOOM_M_MAX))
+        b2 = F.pmod(F.xxhash64(F.lit("_bloom"), ks), F.lit(_BLOOM_M_MAX))
+        return [
+            F.pmod(b1 + F.lit(i) * b2, F.lit(_BLOOM_M_MAX)) for i in range(_BLOOM_K)
+        ]
+
+    def _file_blooms(self, files: list[str], schema: T.StructType) -> dict[str, dict[str, Any]]:
+        """Per-file bloom over the FIRST key column for exactly ``files`` —
+        ONE keys-only, column-pruned scan (grouped by ``input_file_name``,
+        sparse (file, word) partial aggregates; no wide aggregate row). Each
+        file's bloom is folded from the max resolution down to the smallest
+        pow2 meeting the ~1% fp target for its row count, so small delta
+        files carry small blooms. Zero-row files get no bloom (always read)."""
+        if not files:
+            return {}
+        import base64
+        from urllib.parse import unquote, urlparse
+
+        key = self.key_cols[0]
+        df = self.spark.read.schema(schema).parquet(*files).select(
+            F.input_file_name().alias("_f"), F.col(key)
+        )
+        pos = F.array(*self._bloom_positions(F.col(key)))
+        rows = (
+            df.select("_f", F.explode(pos).alias("p"))
+            .select(
+                "_f",
+                F.shiftright(F.col("p"), 6).alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+            )
+            .groupBy("_f", "w")
+            .agg(F.bit_or("b").alias("bits"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        per: dict[str, dict[int, int]] = {}
+        n_pos: dict[str, int] = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            per.setdefault(p, {})[int(r["w"])] = r["bits"] & 0xFFFFFFFFFFFFFFFF
+            n_pos[p] = n_pos.get(p, 0) + int(r["cnt"])
+        out: dict[str, dict[str, Any]] = {}
+        for f in files:
+            words = per.get(f)
+            if not words:
+                continue
+            n = max(1, n_pos[f] // _BLOOM_K)  # rows ≥ distinct keys: conservative m
+            m = _BLOOM_M_MIN
+            while m < _BLOOM_M_MAX and m < _BLOOM_BITS_PER_KEY * n:
+                m *= 2
+            buf = bytearray(_BLOOM_M_MAX // 8)
+            for w, bits in words.items():
+                buf[w * 8:(w + 1) * 8] = bits.to_bytes(8, "little")
+            while len(buf) * 8 > m:  # pow2 fold: bit p at 2m ORs into p mod m
+                half = len(buf) // 2
+                buf = bytearray(a | b for a, b in zip(buf[:half], buf[half:]))
+            out[f] = {
+                "bloom": base64.b64encode(bytes(buf)).decode("ascii"),
+                "bloom_m": m,
+                "bloom_k": _BLOOM_K,
+            }
+        return out
+
+    def _probe_keys(
+        self, keys: list[Any], key_type: T.DataType
+    ) -> list[tuple[Any, int, list[int]]]:
+        """(key, bucket, bloom positions) for each probe key — ONE tiny job
+        over the bounded key list, using the same bucket/bloom expressions
+        as the write path."""
+        kt = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField("k", key_type)])
+        )
+        bucket = F.pmod(
+            F.xxhash64(F.col("k").cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+        rows = kt.select(
+            F.col("k"), bucket.alias("b"),
+            F.array(*self._bloom_positions(F.col("k"))).alias("p"),
+        ).collect()
+        return [(r["k"], int(r["b"]), [int(x) for x in r["p"]]) for r in rows]
+
+    @staticmethod
+    def _bloom_may_contain(
+        st: dict[str, Any] | None, probes: list[tuple[Any, int, list[int]]]
+    ) -> bool:
+        """True if the file might contain ANY probed key. Files without a
+        bloom entry are always read (conservative); no false negatives —
+        every version of a probed key lives in a bloom-positive file."""
+        if not st or "bloom" not in st:
+            return True
+        import base64
+
+        buf = base64.b64decode(st["bloom"])
+        m = int(st["bloom_m"])
+        for _k, _b, pos in probes:
+            if all((buf[(p % m) >> 3] >> ((p % m) & 7)) & 1 for p in pos):
+                return True
+        return False
+
+    def build_blooms(self) -> int:
+        """Backfill blooms for every live file lacking one (one keys-only
+        scan of those files) and commit a metadata-only version — turns
+        point-lookup pruning on for tables written before
+        ``bloom_filters=True``. Returns the number of files indexed."""
+        m = self._load_manifest()
+        if m is None:
+            return 0
+        stats = dict(m.get("file_stats", {}))
+        todo = [f for f in self._files(m, None) if "bloom" not in stats.get(f, {})]
+        if not todo:
+            return 0
+        for f, st in self._file_blooms(todo, self._schema_of(m)).items():
+            stats[f] = {**stats.get(f, {}), **st}
+        manifest = {k: v for k, v in m.items() if k != "version"}
+        manifest["file_stats"] = stats
+        manifest["lineage"] = {"op": "build_blooms", "files_indexed": len(todo)}
+        self._commit_manifest(manifest)
+        return len(todo)
+
     @staticmethod
     def _entry(m: dict[str, Any] | None, b: str) -> dict[str, list[str]]:
         if m is None:
@@ -314,6 +460,7 @@ class LakeTable:
         version: int | None = None,
         include_deleted: bool = False,
         key_ranges: list[tuple[Any, Any]] | None = None,
+        keys: list[Any] | None = None,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
@@ -325,7 +472,15 @@ class LakeTable:
         are skipped entirely (conservative: stats-less files always read),
         then rows are filtered to the ranges. LWW stays correct under
         pruning: every version of an in-range key lives in a file whose
-        bounds cover that key, so no version is dropped before the resolve."""
+        bounds cover that key, so no version is dropped before the resolve.
+
+        ``keys``: point lookup on the FIRST key column — the "fetch these
+        conversations" serving path. Prunes to the keys' hash buckets
+        (1/n_buckets of the table), then — on ``bloom_filters`` tables —
+        skips bucket files whose bloom excludes every probed key, then
+        filters rows exactly. A lookup on a 10^10-row table touches one
+        bucket's files, minus the bloom-negative deltas; LWW correctness is
+        preserved because blooms have no false negatives."""
         m = self._load_manifest(version)
         if m is None:
             if version is not None and version > 0:
@@ -335,8 +490,31 @@ class LakeTable:
                 )
             return self.spark.createDataFrame([], T.StructType([]))
         schema = self._schema_of(m)
+        probe_map: dict[int, list[tuple[Any, int, list[int]]]] | None = None
+        if keys is not None:
+            keys = list(keys)
+            key_type = schema[self.key_cols[0]].dataType
+            probe_map = {}
+            for pk in self._probe_keys(keys, key_type) if keys else []:
+                probe_map.setdefault(pk[1], []).append(pk)
+            kb = sorted(probe_map)
+            buckets = kb if buckets is None else sorted(set(buckets) & set(kb))
         base_files = self._files(m, buckets, "base")
         delta_files = self._files(m, buckets, "delta")
+        if probe_map is not None:
+            stats = m.get("file_stats", {})
+            fb = {
+                f: int(b)
+                for b, e in m["buckets"].items()
+                for kind in ("base", "delta")
+                for f in e.get(kind, [])
+            }
+
+            def bloom_keep(f: str) -> bool:
+                return self._bloom_may_contain(stats.get(f), probe_map.get(fb[f], []))
+
+            base_files = [f for f in base_files if bloom_keep(f)]
+            delta_files = [f for f in delta_files if bloom_keep(f)]
         if key_ranges:
             stats = m.get("file_stats", {})
 
@@ -355,6 +533,18 @@ class LakeTable:
         df = self._read_files(base_files + delta_files, schema)
         if key_ranges and df.columns:
             df = self._apply_key_ranges(df, key_ranges)
+        if keys is not None and df.columns:
+            k0 = F.col(self.key_cols[0])
+            if not keys:
+                df = df.filter(F.lit(False))
+            elif len(keys) <= 512:
+                df = df.filter(k0.isin(keys))
+            else:  # large key lists: broadcast semi-join, not a 10k-term IN
+                kt = self.spark.createDataFrame(
+                    [(k,) for k in keys],
+                    T.StructType([T.StructField(self.key_cols[0], key_type)]),
+                )
+                df = df.join(F.broadcast(kt), on=self.key_cols[0], how="left_semi")
         if delta_files:
             # LWW by _lsn resolves EVERY delta format, collapse included:
             # deferred-cancel sign deltas are versioned +1 rows (never -1),
@@ -776,6 +966,17 @@ class LakeTable:
         live_set = set(live_files)
         for f, st in (extra_file_stats or {}).items():
             if f in live_set:
+                file_stats[f] = {**file_stats.get(f, {}), **st}
+        if self.bloom_filters:
+            # key blooms for files NEW in this commit (rollback re-references
+            # old files whose blooms arrive via extra_file_stats — skipped):
+            # one keys-only read-back of the just-written batch, O(batch)
+            prev_files = set(self._files(prev, None))
+            todo = [
+                f for f in live_files
+                if f not in prev_files and "bloom" not in file_stats.get(f, {})
+            ]
+            for f, st in self._file_blooms(todo, data_schema).items():
                 file_stats[f] = {**file_stats.get(f, {}), **st}
         # incremental-sync watermarks carry forward in EVERY manifest, so
         # resuming a long-lived table reads one JSON file, never a lineage
