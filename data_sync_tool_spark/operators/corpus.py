@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashes import rowhash_int32
+from ..functions.hashes import rowhash_int32, rowhash_md5
 
 
 def tokenize(
@@ -369,4 +369,95 @@ def group_cap(
         df.withColumn("_gc_rn", F.row_number().over(w))
         .filter(F.col("_gc_rn") <= cap)
         .drop("_gc_rn")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the "randomize the corpus
+    and cut it into N training shards" step before sequence packing. Adds
+    ``shard`` (which of the ``n_shards`` a row lands in) and ``pos`` (the
+    row's 1-based position within its shard); reading shards 0..N-1 in
+    position order yields a pseudo-random permutation of the corpus that is
+    a pure function of (keys, salt): stable across cluster sizes,
+    partitionings, and engines, and re-saltable for a fresh epoch order.
+
+    Scale shape: shard assignment is a scan-level expression; the only
+    shuffle is the per-shard window (partition by ``shard``), whose state
+    is one shard (corpus / n_shards rows) — pick ``n_shards`` so a shard
+    fits a task (a 100 TB corpus at 10k shards → 10 GB sorts). No global
+    single-partition window, no driver collect.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = rowhash_md5(*key_cols, F.lit(salt))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    out = df.withColumn("_ss_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ss_h"), *[F.col(c) for c in key_cols]
+    )
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_ss_h")
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float,
+    target_frac: float,
+    denominator: int = 1000,
+) -> dict[str, int]:
+    """Temperature-sampling mixing weights (the multilingual/multi-source
+    formula: sample share ∝ count^alpha): given per-stratum corpus counts,
+    return integer per-stratum keep-rates (out of ``denominator``) such
+    that the expected TOTAL kept fraction is ``target_frac`` and stratum
+    shares follow ``count^alpha``. ``alpha < 1`` flattens the mix
+    (upsamples small sources relative to their natural share), ``alpha=1``
+    reproduces the natural mix. Rates are floored (+1e-9 guard so exact
+    integers do not flip on float error) and capped at ``denominator``;
+    driver-side pure arithmetic over the tiny per-stratum count table.
+    """
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    z = sum(c ** alpha for c in counts.values())
+    out = {}
+    for s, c in counts.items():
+        if c <= 0:
+            out[s] = 0
+            continue
+        p = target_frac * total * (c ** alpha) / z / c  # per-row keep prob
+        out[s] = min(denominator, int(p * denominator + 1e-9))
+    return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_cols: list[str],
+    stratum_col: str,
+    alpha: float,
+    target_frac: float,
+    denominator: int = 1000,
+) -> DataFrame:
+    """Temperature-based corpus mixing end-to-end: ONE tiny aggregate over
+    ``stratum_col`` (bounded by the number of sources) computes counts on
+    the driver, :func:`temperature_rates` turns them into integer rates,
+    and :func:`stratified_hash_sample` applies them as a scan-level filter
+    — deterministic, engine-independent, and nested under the same hash
+    slots as every other sampler (tuning ``alpha``/``target_frac`` only
+    adds or removes rows per stratum, never churns the kept set).
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(counts, alpha, target_frac, denominator)
+    return stratified_hash_sample(
+        df, key_cols, stratum_col, rates, denominator, default=0
     )

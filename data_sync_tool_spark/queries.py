@@ -2110,6 +2110,68 @@ ORACLE_CORPUS_MIX = f"""
 """
 
 
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (the pre-packing "randomize
+    and cut into N training shards" step): md5-ordered permutation, shard =
+    hash mod 8, pos = 1-based rank within shard — a pure function of
+    (doc_id, salt), identical on any cluster size or engine."""
+    from .operators.corpus import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs.select("doc_id"), ["doc_id"], n_shards=8).orderBy(
+        "shard", "pos"
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = """
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                           'shuffle')) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+             ORDER BY hh, doc_id
+           ) AS BIGINT) AS pos
+    FROM h ORDER BY shard, pos
+"""
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixing (sample share ∝ count^0.5 at 25%
+    total): per-language counts → integer keep-rates → deterministic
+    stratified hash sample. alpha=0.5 flattens the mix — small languages
+    keep a larger fraction of themselves than big ones."""
+    from .operators.corpus import temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, ["doc_id"], "lang", alpha=0.5, target_frac=0.25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+    WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, sum(pow(CAST(n AS DOUBLE), 0.5)) AS z
+            FROM cnt),
+    rates AS (
+      SELECT lang,
+             LEAST(1000, CAST(floor(
+               0.25 * total * pow(CAST(n AS DOUBLE), 0.5) / z / CAST(n AS DOUBLE)
+               * 1000 + 1e-9) AS BIGINT)) AS r
+      FROM cnt, tot
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN rates rt ON d.lang = rt.lang
+    WHERE {_dd_rowhash('doc_id')} % 1000 < rt.r
+    ORDER BY doc_id
+"""
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: chunk (256 chars, no overlap) → md5 fingerprint → exact
     duplicate-chunk groups across the corpus (the sub-document dedup shape:
@@ -2818,6 +2880,8 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_keywords": (q_doc_keywords, ORACLE_DOC_KEYWORDS),
         "corpus_fold_sample": (q_corpus_fold_sample, ORACLE_CORPUS_FOLD),
         "corpus_mix_sample": (q_corpus_mix_sample, ORACLE_CORPUS_MIX),
+        "corpus_shuffle_shards": (q_corpus_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
+        "corpus_temperature_mix": (q_corpus_temperature_mix, ORACLE_TEMPERATURE_MIX),
         "source_capped": (q_source_capped, ORACLE_SOURCE_CAPPED),
         "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),
         "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),

@@ -323,3 +323,90 @@ def test_group_cap_validates_cap(spark):
 
     with pytest.raises(ValueError):
         group_cap(_cap_docs(spark), "source", ["doc_id"], 0)
+
+
+# ----------------------------------------------------------- shuffle shards
+
+
+def _shuffle_docs(spark, n=200):
+    return spark.createDataFrame(
+        [(f"d{i:04d}", f"s{i % 3}") for i in range(n)], "doc_id string, src string"
+    )
+
+
+def test_shuffle_shards_is_a_partition_of_the_corpus(spark):
+    from data_sync_tool_spark.operators.corpus import shuffle_shards
+
+    docs = _shuffle_docs(spark)
+    out = shuffle_shards(docs, ["doc_id"], n_shards=4).collect()
+    assert len(out) == 200
+    assert {r.doc_id for r in out} == {f"d{i:04d}" for i in range(200)}
+    # positions within each shard are exactly 1..shard_size
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_deterministic_and_salt_reorders(spark):
+    from data_sync_tool_spark.operators.corpus import shuffle_shards
+
+    docs = _shuffle_docs(spark)
+    a = sorted(map(tuple, shuffle_shards(docs, ["doc_id"], 4).collect()))
+    b = sorted(map(tuple, shuffle_shards(docs.repartition(13), ["doc_id"], 4).collect()))
+    assert a == b  # pure function of keys — partitioning-independent
+    c = sorted(map(tuple, shuffle_shards(docs, ["doc_id"], 4, salt="epoch2").collect()))
+    assert a != c  # a fresh salt is a fresh permutation
+    assert {t[0] for t in a} == {t[0] for t in c}
+
+
+def test_shuffle_shards_validates(spark):
+    from data_sync_tool_spark.operators.corpus import shuffle_shards
+
+    with pytest.raises(ValueError):
+        shuffle_shards(_shuffle_docs(spark), ["doc_id"], 0)
+
+
+# ------------------------------------------------------- temperature mixing
+
+
+def test_temperature_rates_alpha_one_is_uniform(spark):
+    from data_sync_tool_spark.operators.corpus import temperature_rates
+
+    r = temperature_rates({"a": 1000, "b": 10}, alpha=1.0, target_frac=0.3)
+    assert r == {"a": 300, "b": 300}  # natural mix: every stratum keeps 30%
+
+
+def test_temperature_rates_flatten_small_strata(spark):
+    from data_sync_tool_spark.operators.corpus import temperature_rates
+
+    r = temperature_rates({"big": 10000, "small": 2500}, alpha=0.5, target_frac=0.2)
+    # alpha<1: the small stratum keeps a larger fraction of itself
+    assert r["small"] > r["big"]
+    # expected kept share of the mix follows count^alpha ratios (2:1 here)
+    kept_big = r["big"] * 10000
+    kept_small = r["small"] * 2500
+    assert 1.8 < kept_big / kept_small < 2.2
+    # a stratum whose ideal keep-prob exceeds 1 caps at the full stratum
+    capped = temperature_rates({"big": 10000, "tiny": 100}, alpha=0.5, target_frac=0.2)
+    assert capped["tiny"] == 1000
+    assert temperature_rates({}, 0.5, 0.2) == {}
+    assert temperature_rates({"z": 0}, 0.5, 0.2) == {"z": 0}
+
+
+def test_temperature_mix_equals_manual_stratified_sample(spark):
+    from data_sync_tool_spark.operators.corpus import (
+        stratified_hash_sample,
+        temperature_mix,
+        temperature_rates,
+    )
+
+    docs = _shuffle_docs(spark, 300)
+    got = temperature_mix(docs, ["doc_id"], "src", alpha=0.5, target_frac=0.4)
+    counts = {r["src"]: r["n"] for r in docs.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = temperature_rates(counts, 0.5, 0.4)
+    want = stratified_hash_sample(docs, ["doc_id"], "src", rates)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert 0 < got.count() < 300
