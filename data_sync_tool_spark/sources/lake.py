@@ -385,6 +385,43 @@ class LakeTable:
                 return True
         return False
 
+    def export_snapshot(
+        self,
+        dest: str,
+        partition_by: list[str] | None = None,
+        version: int | None = None,
+    ) -> dict[str, Any]:
+        """Publish the resolved live view as plain parquet under ``dest`` —
+        the snapshot-export / CREATE-TABLE-AS step for consumers that read
+        files, not manifests (training jobs, serving scans). ONE job:
+        ``read()`` (manifest file list, LWW resolve, tombstone filter) →
+        write; the row count rides the write via ``observe``. A
+        ``_export.json`` marker (source path/version, rows) is written
+        AFTER the data — its presence is the publication signal, so a
+        crashed export is never half-visible. System columns are dropped;
+        the output is engine-agnostic."""
+        df = self.read(version=version)
+        if not df.columns:
+            raise ValueError("nothing to export: table has no committed version")
+        df = df.drop(*[c for c in _SYSTEM_COLS + (BUCKET_COL,) if c in df.columns])
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        w = out.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dest)
+        got = obs.get.get("n")
+        marker = {
+            "source_path": self.path,
+            "source_version": int(version or self.current_version()),
+            "rows": int(got) if got is not None else 0,
+        }
+        with open(os.path.join(dest, "_export.json"), "w") as f:
+            json.dump(marker, f)
+        return marker
+
     def build_blooms(self) -> int:
         """Backfill blooms for every live file lacking one (one keys-only
         scan of those files) and commit a metadata-only version — turns
