@@ -75,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
     hi.add_argument("--last", type=int, default=20,
                     help="only the N most recent commits (bounded manifest reads)")
 
+    pg = sub.add_parser(
+        "purge", help="privacy erasure: physically remove every stored row "
+        "version of the given keys (bounded bucket/bloom-pruned rewrite), "
+        "then truncate history so old files cannot resurrect the payload")
+    pg.add_argument("--table", required=True, help="lake table path")
+    pg.add_argument("--keys", required=True, help="comma-separated key columns")
+    pg.add_argument("--values", required=True,
+                    help="comma-separated first-key values to erase")
+    pg.add_argument("--keep-history", action="store_true",
+                    help="skip the vacuum (erasure INCOMPLETE until vacuum runs)")
+
     qj = sub.add_parser(
         "query", help="run a stored JSON query config (the reference api.py "
         "persistence form) against a directory of parquet tables")
@@ -108,6 +119,24 @@ def main(argv: list[str] | None = None) -> int:
             "rolled_back_to": args.version, "new_version": res.version,
             "batch_id": res.batch_id,
         }))
+        return 0
+
+    if args.cmd == "purge":
+        from pyspark.sql import types as T
+
+        from .sources.lake import LakeTable
+
+        table = LakeTable(spark, args.table, args.keys.split(","))
+        m = table._load_manifest()
+        vals: list = args.values.split(",")
+        if m is not None:  # coerce CLI strings to the key column's type
+            kt = table._schema_of(m)[table.key_cols[0]].dataType
+            if isinstance(kt, T.IntegralType):
+                vals = [int(v) for v in vals]
+            elif isinstance(kt, (T.FloatType, T.DoubleType)):
+                vals = [float(v) for v in vals]
+        report = table.purge_keys(vals, vacuum_history=not args.keep_history)
+        print(json.dumps(report))
         return 0
 
     if args.cmd == "index":

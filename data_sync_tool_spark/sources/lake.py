@@ -1480,6 +1480,155 @@ class LakeTable:
         v = self._commit(buckets, schema, bid, lineage, dig, tot)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
+    def purge_keys(
+        self,
+        keys: list[Any],
+        batch_id: str | None = None,
+        vacuum_history: bool = True,
+    ) -> dict[str, Any]:
+        """Privacy erasure (right-to-be-forgotten): physically remove EVERY
+        stored row version of ``keys`` — live rows, superseded versions,
+        tombstones, sign rows — from the table's data files. A tombstone
+        delete hides a key but leaves its payload readable in the files and
+        via time travel; purge is the hard-delete twin.
+
+        - **Bounded rewrite.** The probe reuses the point-lookup index
+          (hash-bucket pruning + per-file key blooms), so only files that
+          MAY contain a purged key are rewritten; unaffected files are
+          re-referenced verbatim. Rewritten files keep every other row
+          as-is — no LWW fold, base stays base, delta stays delta — so MoR
+          semantics and pending versions of other keys are untouched.
+        - **History truncation.** Prior manifests still reference the old
+          files, so by default the purge finishes with
+          ``vacuum(keep_last=1)``: historical data files (every old copy of
+          the purged payload) and manifests are deleted, and time travel /
+          rollback restart at the purge commit. ``vacuum_history=False``
+          defers that — the purge is NOT complete until ``vacuum`` runs.
+        - **Downstream copies are not touched.** A follower table that
+          already synced the keys retains them (the rows are gone from the
+          change feed, so erasure cannot propagate); purge each table.
+          Follower sync itself stays correct: the rewrite commit carries
+          conservative lsn bounds and sync's row-level ``_lsn`` probe finds
+          no new versions.
+
+        Reference parity: the reference's deletes are ClickHouse sign
+        cancels (adapters/clickhouse.py:93-105) which keep the payload in
+        the cancel row; it has no erasure op. This is the GDPR-grade
+        operation a conversation store needs.
+        """
+        keys = list(keys)
+        report: dict[str, Any] = {
+            "version": self.current_version(), "committed": False,
+            "files_rewritten": 0, "rows_purged": 0,
+        }
+        m = self._load_manifest()
+        if m is None or not keys:
+            return report
+        schema = self._schema_of(m)
+        key0 = self.key_cols[0]
+        key_type = schema[key0].dataType
+        probe_map: dict[int, list[tuple[Any, int, list[int]]]] = {}
+        for pk in self._probe_keys(keys, key_type):
+            probe_map.setdefault(pk[1], []).append(pk)
+        stats = m.get("file_stats", {})
+        affected: dict[str, dict[str, list[str]]] = {}
+        for b_str, e in m["buckets"].items():
+            if int(b_str) not in probe_map:
+                continue
+            for kind in ("base", "delta"):
+                hit = [
+                    f for f in e.get(kind, [])
+                    if self._bloom_may_contain(stats.get(f), probe_map[int(b_str)])
+                ]
+                if hit:
+                    affected.setdefault(b_str, {})[kind] = hit
+        if not affected:
+            # no current file can hold the keys — but historical versions
+            # still might (insert → delete → expire_tombstones), so the
+            # history truncation must still run
+            if vacuum_history:
+                report["vacuum"] = self.vacuum(keep_last=1)
+            return report
+
+        k0 = F.col(key0)
+
+        def drop_keys(df: DataFrame) -> DataFrame:
+            if len(keys) <= 512:
+                # null-keyed rows (never produced by merge, conceivable in
+                # imported files) are kept: isin is NULL for them
+                return df.filter(~F.coalesce(k0.isin(keys), F.lit(False)))
+            kt = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField(key0, key_type)]),
+            )
+            return df.join(F.broadcast(kt), on=key0, how="left_anti")
+
+        out_buckets = {
+            b: {"base": list(e.get("base", [])), "delta": list(e.get("delta", []))}
+            for b, e in m["buckets"].items()
+        }
+        all_digests: dict[str, dict[str, Any]] = {}
+        totals: list[dict[str, Any]] = []
+        new_files_all: list[str] = []
+        rows_before = rows_after = n_rewritten = 0
+        for kind in ("base", "delta"):
+            files = [f for e in affected.values() for f in e.get(kind, [])]
+            if not files:
+                continue
+            n_rewritten += len(files)
+            rows_before += self._count_rows(files)
+            kept = drop_keys(self._read_files(files, schema)).withColumn(
+                BUCKET_COL, self._bucket_col()
+            )
+            new, dig, tot = self._write_snapshot(kept)
+            all_digests.update(dig)
+            if tot:
+                totals.append(tot)
+            for b_str, e in affected.items():
+                if kind in e:
+                    gone = set(e[kind])
+                    out_buckets[b_str][kind] = [
+                        f for f in out_buckets[b_str][kind] if f not in gone
+                    ]
+            for b, fs in new.items():
+                out_buckets.setdefault(b, {"base": [], "delta": []})[kind] = (
+                    out_buckets.get(b, {}).get(kind, []) + fs
+                )
+                new_files_all.extend(fs)
+            rows_after += self._count_rows([f for fs in new.values() for f in fs])
+        out_buckets = {
+            b: e for b, e in out_buckets.items() if e.get("base") or e.get("delta")
+        }
+        batch_total: dict[str, Any] | None = None
+        if totals:
+            batch_total = dict(totals[0])
+            for t in totals[1:]:
+                if "d" in t:
+                    batch_total["d"] = batch_total.get("d", 0) + t["d"]
+                for k, fold in (("lsn_min", min), ("lsn_max", max),
+                                ("key_min", min), ("key_max", max)):
+                    if k in t:
+                        batch_total[k] = (
+                            fold(batch_total[k], t[k]) if k in batch_total else t[k]
+                        )
+        bid = batch_id or f"purge-v{m['version']}"
+        lineage = {
+            "batch_id": bid, "op": "purge", "rows_written": rows_after,
+            "rows_purged": rows_before - rows_after,
+            "files_rewritten": n_rewritten, "n_keys": len(keys),
+        }
+        v = self._commit(
+            out_buckets, schema, bid, lineage, all_digests, batch_total,
+            extra_file_stats=self._file_key_stats(new_files_all),
+        )
+        report.update(
+            version=v, committed=True, files_rewritten=n_rewritten,
+            rows_purged=rows_before - rows_after,
+        )
+        if vacuum_history:
+            report["vacuum"] = self.vacuum(keep_last=1)
+        return report
+
     def rescale(self, n_buckets: int, batch_id: str | None = None) -> MergeResult:
         """Rewrite the table under a new bucket count (Iceberg
         REPLACE PARTITION FIELD + rewrite). One full read→write; subsequent

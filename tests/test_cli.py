@@ -212,3 +212,23 @@ def test_cli_history_and_rollback(tmp_path, spark):
                    "batch_id": "rollback-v1"}
     restored = LakeTable(spark, path, ["k"])
     assert restored.read().agg(F.min("v")).first()[0] == 0  # bad batch undone
+
+
+@pytest.mark.slow
+def test_cli_purge_subcommand(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, ["k"], n_buckets=4)
+    rows = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("text-"), F.col("id")).alias("v"),
+        F.lit("insert").alias("op"), F.lit(1).alias("lsn"))
+    t.merge_into(rows, batch_id="b0")
+
+    got = _run("purge", "--table", path, "--keys", "k", "--values", "7,13")
+    assert got["committed"] and got["rows_purged"] == 2  # int coercion worked
+    after = LakeTable(spark, path, ["k"]).read()
+    assert after.count() == 48
+    assert after.filter(F.col("k").isin(7, 13)).count() == 0
