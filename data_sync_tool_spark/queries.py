@@ -2749,6 +2749,63 @@ def q_lake_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate view (sources/agg_view.py): a
+    per-conversation rollup follows the source lake through 3 CDC batches —
+    bootstrap full build, then two refreshes that re-aggregate ONLY the
+    groups each lsn window touched (feed lsn-pruned, recompute bloom-pruned
+    point lookups). The view must equal the full GROUP BY of the source's
+    final LWW state — including the retraction-hostile max() under deletes."""
+    import tempfile
+
+    from .sources.agg_view import refresh_agg_view
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir)
+    src = LakeTable(
+        spark, tempfile.mkdtemp(prefix="aggv_src_"), ["conv_id", "turn_idx"],
+        n_buckets=16, merge_mode="mor", bloom_filters=True,
+    )
+    view = LakeTable(
+        spark, tempfile.mkdtemp(prefix="aggv_view_"), ["conv_id"], n_buckets=8,
+    )
+    aggs = {
+        "n_turns": F.count(F.lit(1)),
+        "total_chars": F.sum(F.length("text")),
+        "last_ts": F.max("ts"),
+        "max_turn": F.max("turn_idx"),
+    }
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        src.merge_into(batch, batch_id=f"aggv-b{i}")
+        refresh_agg_view(src, view, aggs)
+    return (
+        view.read()
+        .select("conv_id", "n_turns", "total_chars", "last_ts", "max_turn")
+        .orderBy("conv_id")
+    )
+
+
+def _oracle_agg_view() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        ),
+        final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT conv_id, count(1) AS n_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               max(ts) AS last_ts, max(turn_idx) AS max_turn
+        FROM final GROUP BY conv_id ORDER BY conv_id
+    """
+
+
 def q_point_lookup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup serving path: replay the change stream into a
     bloom-indexed MoR lake (no compaction — deltas pending), then fetch a
@@ -2898,5 +2955,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "bpe_token_stats": (q_bpe_token_stats, None),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
         "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
+        "agg_view_refresh": (q_agg_view_refresh, _oracle_agg_view()),
         "point_lookup_turns": (q_point_lookup_turns, _oracle_point_lookup()),
     }
