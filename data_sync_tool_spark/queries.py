@@ -2806,6 +2806,55 @@ def _oracle_agg_view() -> str:
     """
 
 
+def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping range read (sources/lake.py stats_columns +
+    read(ranges=...)): replay the change stream into a ts-stat'd MoR lake,
+    Z-order-compact on ts so per-file zone maps are tight, then serve
+    "turns in [Jan 10, Jan 20)" — files outside the window are never
+    opened. Must equal the final LWW state filtered to the window."""
+    import datetime
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="tr_"), ["conv_id", "turn_idx"],
+        n_buckets=8, merge_mode="mor", stats_columns=["ts"],
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"tr-b{i}")
+    table.compact(zorder_by=["ts"], max_file_rows=50_000)
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 20)
+    return (
+        table.read(ranges={"ts": [(lo, hi)]})
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _oracle_time_range() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def q_point_lookup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup serving path: replay the change stream into a
     bloom-indexed MoR lake (no compaction — deltas pending), then fetch a
@@ -2956,5 +3005,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
         "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
         "agg_view_refresh": (q_agg_view_refresh, _oracle_agg_view()),
+        "time_range_scan": (q_time_range_scan, _oracle_time_range()),
         "point_lookup_turns": (q_point_lookup_turns, _oracle_point_lookup()),
     }

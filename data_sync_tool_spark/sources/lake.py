@@ -164,6 +164,7 @@ class LakeTable:
         track_stats: bool = True,
         idempotence_window: int = 10_000,
         bloom_filters: bool = False,
+        stats_columns: list[str] | None = None,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
@@ -180,6 +181,12 @@ class LakeTable:
         # column-pruned read-back of its NEW files (O(batch)); point-lookup
         # reads then skip bucket files that cannot contain the probed keys
         self.bloom_filters = bloom_filters
+        # opt-in per-file min/max zone maps for NON-key columns (Delta/Iceberg
+        # "data skipping" stats): harvested from parquet footers at commit
+        # time (metadata-only, O(new files)); ``read(ranges=...)`` prunes
+        # files on resolved buckets. Persisted in the manifest so every
+        # reader skips with the same index.
+        self.stats_columns = list(stats_columns or [])
         # exactly-once memory: how many recent batch_ids each manifest
         # retains. Bounded so manifests stay O(1) over 10^6 commits; safe
         # because a checkpointed source can only re-deliver batches within
@@ -193,6 +200,10 @@ class LakeTable:
         m = self._load_manifest()
         if m is not None and m.get("n_buckets"):
             self.n_buckets = int(m["n_buckets"])
+        if m is not None and not self.stats_columns:
+            # follow the manifest like n_buckets; an explicit constructor
+            # list still wins (enables stats on an existing table)
+            self.stats_columns = list(m.get("stats_columns", []))
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, version: int) -> str:
@@ -498,6 +509,7 @@ class LakeTable:
         include_deleted: bool = False,
         key_ranges: list[tuple[Any, Any]] | None = None,
         keys: list[Any] | None = None,
+        ranges: dict[str, list[tuple[Any, Any]]] | None = None,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
@@ -517,7 +529,17 @@ class LakeTable:
         skips bucket files whose bloom excludes every probed key, then
         filters rows exactly. A lookup on a 10^10-row table touches one
         bucket's files, minus the bloom-negative deltas; LWW correctness is
-        preserved because blooms have no false negatives."""
+        preserved because blooms have no false negatives.
+
+        ``ranges``: half-open ``[lo, hi)`` ranges over NON-key columns
+        (``{col: [(lo, hi), ...]}`` — the Delta/Iceberg data-skipping
+        read). Files on RESOLVED buckets whose ``stats_columns`` zone map
+        cannot intersect are skipped; buckets with pending delta files are
+        never file-pruned, because a key's LATEST version may sit in a file
+        whose stats exclude the range while a stale version matches —
+        pruning it would resurrect the stale row. (Key-based pruning has no
+        such hazard: a key never changes across versions.) The row filter
+        applies AFTER the LWW resolve for the same reason."""
         m = self._load_manifest(version)
         if m is None:
             if version is not None and version > 0:
@@ -567,6 +589,36 @@ class LakeTable:
 
             base_files = [f for f in base_files if may_intersect(f)]
             delta_files = [f for f in delta_files if may_intersect(f)]
+        if ranges:
+            stats = m.get("file_stats", {})
+            unresolved = {
+                b for b, e in m["buckets"].items() if e.get("delta")
+            }
+            fb = {
+                f: b
+                for b, e in m["buckets"].items()
+                for kind in ("base", "delta")
+                for f in e.get(kind, [])
+            }
+
+            def range_keep(f: str) -> bool:
+                if fb[f] in unresolved:
+                    return True  # see docstring: MoR staleness hazard
+                cs = stats.get(f, {}).get("cs", {})
+                for col, rs in ranges.items():
+                    if col not in cs:
+                        continue  # no stats for this column — can't prune
+                    flo, fhi = cs[col]
+                    if not any(
+                        (hi is None or flo < self._norm_bound(hi))
+                        and (lo is None or fhi >= self._norm_bound(lo))
+                        for lo, hi in rs
+                    ):
+                        return False
+                return True
+
+            base_files = [f for f in base_files if range_keep(f)]
+            delta_files = [f for f in delta_files if range_keep(f)]
         df = self._read_files(base_files + delta_files, schema)
         if key_ranges and df.columns:
             df = self._apply_key_ranges(df, key_ranges)
@@ -592,6 +644,21 @@ class LakeTable:
             df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+        if ranges and df.columns:
+            # row-level restriction AFTER the resolve (a pre-resolve filter
+            # could drop a key's latest out-of-range version and serve a
+            # stale in-range one)
+            for col, rs in ranges.items():
+                cond = None
+                for lo, hi in rs:
+                    c = F.lit(True)
+                    if lo is not None:
+                        c = c & (F.col(col) >= F.lit(lo))
+                    if hi is not None:
+                        c = c & (F.col(col) < F.lit(hi))
+                    cond = c if cond is None else (cond | c)
+                if cond is not None:
+                    df = df.filter(cond)
         return df
 
     def _apply_key_ranges(
@@ -632,6 +699,7 @@ class LakeTable:
         per_file_digests: bool = True,
         sort_by_key: bool = False,
         max_records_per_file: int | None = None,
+        sort_cols: list[str] | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, dict[str, Any]], dict[str, Any] | None]:
         """Write ``df`` (must carry BUCKET_COL) partitioned by bucket under a
         fresh snapshot dir; return (bucket_id → absolute file list,
@@ -656,16 +724,22 @@ class LakeTable:
         # bucket per commit) and the per-batch file count is O(n_buckets),
         # independent of parallelism.
         clustered = df.repartition(self.n_buckets, F.col(BUCKET_COL))
-        if sort_by_key:
-            # key-clustered rewrite (compact/rescale maintenance): sort each
-            # bucket by the first key column so that, combined with
-            # ``max_records_per_file``, every output file covers a TIGHT,
-            # non-overlapping key band — the per-file footer zone maps
-            # harvested after the write then prune key-range reads even for
-            # hash-random keys (where commit-level bounds are always
+        order = list(sort_cols or ([self.key_cols[0]] if sort_by_key else []))
+        if order:
+            # clustered rewrite (compact/rescale maintenance): sort each
+            # bucket by the given columns (default: first key) so that,
+            # combined with ``max_records_per_file``, every output file
+            # covers a TIGHT band in sort order — the per-file footer zone
+            # maps harvested after the write then prune range reads even
+            # for hash-random keys (where commit-level bounds are always
             # full-range). Sorting rides the same shuffle's task-side sort,
-            # no extra exchange.
-            clustered = clustered.sortWithinPartitions(BUCKET_COL, self.key_cols[0])
+            # no extra exchange. Helper sort columns prefixed ``_zo`` (the
+            # z-order interleave value) are dropped before the write — the
+            # projection preserves intra-partition order.
+            clustered = clustered.sortWithinPartitions(BUCKET_COL, *order)
+            helpers = [c for c in order if c.startswith("_zo")]
+            if helpers:
+                clustered = clustered.drop(*helpers)
         obs = None
         cols_key = ""
         to_write = clustered
@@ -816,6 +890,63 @@ class LakeTable:
                 maxs.append(st.max)
             if ok and mins:
                 out[f] = {"key_min": min(mins), "key_max": max(maxs)}
+        return out
+
+    @staticmethod
+    def _norm_bound(v: Any) -> Any:
+        """JSON-storable, order-preserving image of a stats bound. Datetimes
+        become fixed-width strings (lexicographic == chronological — the
+        variable-width isoformat would mis-order fractional seconds against
+        whole ones and over-prune); numbers and strings pass through."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
+    def _file_col_stats(
+        self, files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, Any]]:
+        """Per-file min/max zone maps for arbitrary columns, harvested from
+        parquet FOOTERS (metadata-only, O(files) tiny IOs). Returns
+        ``{file: {"cs": {col: [min, max]}}}``; a column is recorded only
+        when every row group has usable stats (else it is omitted and the
+        file is always read for that column — conservative). String stats
+        are pruning-safe under parquet truncation (see _file_key_stats)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, Any]] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            cs: dict[str, Any] = {}
+            for col in cols:
+                mins: list[Any] = []
+                maxs: list[Any] = []
+                ok = True
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    c = next(
+                        (row_group.column(i) for i in range(row_group.num_columns)
+                         if row_group.column(i).path_in_schema == col),
+                        None,
+                    )
+                    st = c.statistics if c is not None else None
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = self._norm_bound(st.min), self._norm_bound(st.max)
+                    if not (isinstance(lo, (int, float, str))
+                            and isinstance(hi, (int, float, str))):
+                        ok = False
+                        break
+                    mins.append(lo)
+                    maxs.append(hi)
+                if ok and mins:
+                    cs[col] = [min(mins), max(maxs)]
+            if cs:
+                out[f] = {"cs": cs}
         return out
 
     def _table_checksum(self, m_buckets: dict[str, Any], schema: T.StructType) -> int:
@@ -1004,17 +1135,31 @@ class LakeTable:
         for f, st in (extra_file_stats or {}).items():
             if f in live_set:
                 file_stats[f] = {**file_stats.get(f, {}), **st}
+        prev_files = set(self._files(prev, None))
         if self.bloom_filters:
             # key blooms for files NEW in this commit (rollback re-references
             # old files whose blooms arrive via extra_file_stats — skipped):
             # one keys-only read-back of the just-written batch, O(batch)
-            prev_files = set(self._files(prev, None))
             todo = [
                 f for f in live_files
                 if f not in prev_files and "bloom" not in file_stats.get(f, {})
             ]
             for f, st in self._file_blooms(todo, data_schema).items():
                 file_stats[f] = {**file_stats.get(f, {}), **st}
+        if self.stats_columns:
+            # non-key column zone maps for NEW files: parquet footer reads
+            # only (metadata, no data pages) — O(new files) per commit
+            schema_cols = {f.name for f in data_schema.fields}
+            want = [c for c in self.stats_columns if c in schema_cols]
+            todo = [
+                f for f in live_files
+                if f not in prev_files and "cs" not in file_stats.get(f, {})
+            ]
+            if want:
+                for f, st in self._file_col_stats(todo, want).items():
+                    file_stats[f] = {**file_stats.get(f, {}), "cs": {
+                        **file_stats.get(f, {}).get("cs", {}), **st["cs"],
+                    }}
         # incremental-sync watermarks carry forward in EVERY manifest, so
         # resuming a long-lived table reads one JSON file, never a lineage
         # scan over O(commits) versions
@@ -1025,6 +1170,7 @@ class LakeTable:
             "buckets": buckets,
             "schema": json.dumps(data_schema.jsonValue()),
             "n_buckets": self.n_buckets,
+            "stats_columns": self.stats_columns,
             "committed_batch_ids": recent[-self.idempotence_window:],
             "file_stats": file_stats,
             "watermarks": watermarks,
@@ -1363,6 +1509,47 @@ class LakeTable:
         return df.withColumn("op", F.lit("upsert"))
 
     # ------------------------------------------------------------ compaction
+    @staticmethod
+    def _zorder_double(df: DataFrame, c: str) -> F.Column:
+        """Numeric image of a z-orderable column: timestamps (NTZ included)
+        and dates go through an epoch-seconds cast — TIMESTAMP_NTZ/DATE
+        cannot cast to double directly."""
+        t = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(t, (T.TimestampNTZType, T.DateType)):
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    @classmethod
+    def _zorder_value(
+        cls, df: DataFrame, cols: list[str],
+        bounds: dict[str, tuple[float, float]],
+    ) -> F.Column:
+        """16-bit-per-column Morton (Z-order) interleave: each column is
+        min-max scaled to [0, 65535] (one tiny bounds aggregate, computed by
+        the caller) and its bits are interleaved, so sorting by the result
+        clusters rows that are close in EVERY dimension. Pure JVM bit
+        expressions (16 × n_cols OR terms, whole-stage codegen); nulls sort
+        first (scaled 0). Timestamps scale via their epoch seconds."""
+        scaled = []
+        for c in cols:
+            lo, hi = bounds[c]
+            x = cls._zorder_double(df, c)
+            span = hi - lo
+            s = ((x - F.lit(lo)) / F.lit(span) * 65535.0) if span > 0 else F.lit(0.0)
+            scaled.append(
+                F.coalesce(
+                    F.least(F.greatest(s, F.lit(0.0)), F.lit(65535.0)), F.lit(0.0)
+                ).cast("long")
+            )
+        n = len(scaled)
+        z = F.lit(0).cast("long")
+        for i in range(16):
+            for j, x in enumerate(scaled):
+                bit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        return z
+
     def compact(
         self,
         buckets: list[int] | None = None,
@@ -1370,6 +1557,7 @@ class LakeTable:
         min_delta_files: int = 1,
         cluster_by_key: bool = False,
         max_file_rows: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> MergeResult:
         """Fold delta files into base for the given (default: all
         delta-bearing) buckets: read base∪delta, LWW-resolve (for collapse
@@ -1395,7 +1583,20 @@ class LakeTable:
         exchange); multi-file buckets forgo the free observe() digests, so
         with checksum on the new base files are re-read once for their
         per-file digests (bounded, compact-only — never on the ingest
-        path)."""
+        path).
+
+        ``zorder_by``: multi-dimensional clustering (Delta OPTIMIZE ZORDER
+        BY): rows sort within each bucket by a 16-bit-per-column Morton
+        interleave of the given numeric/timestamp columns, so per-file zone
+        maps become tight in EVERY listed dimension and ``read(ranges=...)``
+        prunes on any of them — the layout a single-column sort cannot give
+        (sorting by ts makes conv-range reads scan everything, and vice
+        versa). Costs one tiny bounds aggregate over the rewritten buckets;
+        the sort rides the rewrite shuffle. Mutually exclusive with
+        ``cluster_by_key``; per-file stats for the z-ordered columns (plus
+        any configured ``stats_columns``) are harvested from the footers."""
+        if zorder_by and cluster_by_key:
+            raise ValueError("zorder_by and cluster_by_key are mutually exclusive")
         m = self._load_manifest()
         if m is None:
             return MergeResult(0, batch_id or "compact", False)
@@ -1422,8 +1623,26 @@ class LakeTable:
         if SIGN_COL in df.columns:
             resolved = resolved.withColumn(SIGN_COL, F.lit(1))
         resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
+        sort_cols = None
+        if zorder_by:
+            missing = [c for c in zorder_by if c not in resolved.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns not in table: {missing}")
+            b_aggs = []
+            for c in zorder_by:
+                x = self._zorder_double(resolved, c)
+                b_aggs += [F.min(x).alias(f"lo_{c}"), F.max(x).alias(f"hi_{c}")]
+            row = resolved.agg(*b_aggs).first()
+            bounds = {
+                c: (row[f"lo_{c}"] or 0.0, row[f"hi_{c}"] or 0.0) for c in zorder_by
+            }
+            resolved = resolved.withColumn(
+                "_zo", self._zorder_value(resolved, zorder_by, bounds)
+            )
+            sort_cols = ["_zo"]
         new, dig, tot = self._write_snapshot(
-            resolved, sort_by_key=cluster_by_key, max_records_per_file=max_file_rows
+            resolved, sort_by_key=cluster_by_key,
+            max_records_per_file=max_file_rows, sort_cols=sort_cols,
         )
         out = dict(m["buckets"])
         for b in dirty:
@@ -1432,6 +1651,9 @@ class LakeTable:
             out[b] = {"base": fs, "delta": []}
         new_files = [f for fs in new.values() for f in fs]
         key_stats = self._file_key_stats(new_files) if cluster_by_key else None
+        if zorder_by:
+            want = sorted(set(zorder_by) | set(self.stats_columns))
+            key_stats = self._file_col_stats(new_files, want)
         bid = batch_id or f"compact-v{m['version']}"
         rows = self._count_rows(new_files)
         lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
