@@ -32,6 +32,7 @@ those groups again — recompute semantics are idempotent.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -39,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .lake import LSN_COL, LakeTable, MergeResult
 
-__all__ = ["refresh_agg_view", "agg_view_watermark"]
+__all__ = ["AggViewSpec", "refresh_agg_view", "agg_view_watermark"]
 
 
 def agg_view_watermark(view: LakeTable, name: str = "aggview") -> int | None:
@@ -52,6 +53,27 @@ def agg_view_watermark(view: LakeTable, name: str = "aggview") -> int | None:
 
 def _recon(name: str) -> str:
     return f"agg_view:{name}"
+
+
+@dataclass
+class AggViewSpec:
+    """A view subscription for the streaming loop: ``CdcPipeline`` calls
+    :meth:`refresh` after every applied merge, so rollups stay one epoch
+    behind ingest at most. Crash-safe by composition — an epoch replay
+    re-runs the refresh, whose lsn-window batch id dedupes in the view's
+    own manifest."""
+
+    view: LakeTable
+    aggs: dict[str, Column]
+    name: str = "aggview"
+    row_filter: Column | None = field(default=None)
+    max_probe_keys: int = 100_000
+
+    def refresh(self, src: LakeTable) -> MergeResult | None:
+        return refresh_agg_view(
+            src, self.view, self.aggs, name=self.name,
+            row_filter=self.row_filter, max_probe_keys=self.max_probe_keys,
+        )
 
 
 def refresh_agg_view(

@@ -189,6 +189,7 @@ class CdcPipeline:
         compact_max_file_rows: int | None = None,
         catchup_from_lsn: int | None = None,
         dlq_dir: str | None = None,
+        agg_views: list[Any] | None = None,
     ) -> None:
         self.spark = spark
         self.source_glob = source_glob
@@ -224,6 +225,13 @@ class CdcPipeline:
         # poisoning the merge or being dropped silently. None = strict mode
         # (malformed rows flow to the merge and fail loudly there).
         self.dlq_dir = dlq_dir
+        # incremental materialized views (sources/agg_view.AggViewSpec):
+        # refreshed after every applied merge, so rollups trail ingest by at
+        # most one epoch. Each refresh is O(groups touched by the epoch) via
+        # the lsn-pruned feed + bloom-pruned point lookup; a replayed epoch
+        # re-runs the refresh, whose lsn-window batch id dedupes in the
+        # view's own manifest (exactly-once end to end).
+        self.agg_views = list(agg_views or [])
         self.metrics = CdcMetrics()
 
     def _reader(self) -> DataFrame:
@@ -356,6 +364,8 @@ class CdcPipeline:
             }
         )
         if res.applied:
+            for spec in self.agg_views:
+                spec.refresh(self.table)
             self._applied_since_compact += 1
             due_count = (
                 self.compact_every is not None

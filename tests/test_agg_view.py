@@ -163,3 +163,30 @@ def test_validates_view_keys_and_aggs(spark, tmp_path):
         refresh_agg_view(src, good, {})
     # source never committed -> None, no view commit
     assert refresh_agg_view(src, good, _aggs()) is None
+
+
+def test_streaming_pipeline_refreshes_view_per_epoch(spark, tmp_path):
+    """CdcPipeline(agg_views=[spec]) keeps the rollup in lockstep with
+    ingest, surviving a crash-resume mid-stream."""
+    from data_sync_tool_spark.datagen import changelog_stream, write_stream_chunks
+    from data_sync_tool_spark.sources.agg_view import AggViewSpec
+    from data_sync_tool_spark.streaming.cdc import CdcPipeline
+
+    d = tmp_path / "binlog"
+    ch = changelog_stream(spark, 2_000, n_convs=60, max_turns=12)
+    write_stream_chunks(ch, str(d), n_chunks=4)
+    src = LakeTable(spark, str(tmp_path / "tbl"), KEYS, n_buckets=4,
+                    merge_mode="mor", checksum=False)
+    view = LakeTable(spark, str(tmp_path / "view"), ["conv_id"], n_buckets=2,
+                     checksum=False)
+    spec = AggViewSpec(view=view, aggs=_aggs())
+    pipe = CdcPipeline(spark, f"{d}/chunk-*", src, str(tmp_path / "ckpt"),
+                       name="av", agg_views=[spec])
+    # crash after 2 epochs, then resume: the replayed epoch's refresh
+    # dedupes by lsn-window batch id
+    pipe.run_available(stop_after_batches=2)
+    pipe2 = CdcPipeline(spark, f"{d}/chunk-*", src, str(tmp_path / "ckpt"),
+                        name="av", agg_views=[spec])
+    pipe2.run_available()
+    assert _view(view) == _full(src)
+    assert agg_view_watermark(view) is not None
