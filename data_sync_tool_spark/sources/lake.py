@@ -94,6 +94,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -232,6 +233,10 @@ class LakeTable:
         store this is a catalog compare-and-swap — exactly Iceberg's commit."""
         version = self.current_version() + 1
         manifest["version"] = version
+        # wall-clock commit time: powers read(as_of=...) and age-based
+        # vacuum. Informational only — ordering authority is the version
+        # number (monotonic single-writer), never the clock.
+        manifest["committed_at"] = time.time()
         tmp = os.path.join(self.path, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
@@ -241,6 +246,31 @@ class LakeTable:
             raise RuntimeError(f"concurrent commit detected at version {version}")
         os.rename(tmp, final)
         return version
+
+    def version_as_of(self, ts: Any) -> int:
+        """Latest version committed at or before ``ts`` (epoch seconds, a
+        datetime — naive means UTC, the engine convention — or an ISO
+        string): Iceberg's snapshot-as-of-timestamp resolution. Bounded
+        backward walk over retained manifests; raises if ``ts`` predates
+        the vacuum horizon (like any expired version)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        for v in range(self.current_version(), 0, -1):
+            m = self._load_manifest(v)
+            if m is None:  # vacuumed horizon
+                break
+            if float(m.get("committed_at", 0.0)) <= float(ts):
+                return v
+        raise ValueError(
+            f"no retained version committed at or before {ts} "
+            f"(expired by vacuum, or the table is younger)"
+        )
 
     def committed_batch_ids(self) -> set[str]:
         m = self._load_manifest()
@@ -510,6 +540,7 @@ class LakeTable:
         key_ranges: list[tuple[Any, Any]] | None = None,
         keys: list[Any] | None = None,
         ranges: dict[str, list[tuple[Any, Any]]] | None = None,
+        as_of: Any | None = None,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
@@ -539,7 +570,14 @@ class LakeTable:
         whose stats exclude the range while a stale version matches —
         pruning it would resurrect the stale row. (Key-based pruning has no
         such hazard: a key never changes across versions.) The row filter
-        applies AFTER the LWW resolve for the same reason."""
+        applies AFTER the LWW resolve for the same reason.
+
+        ``as_of``: time travel by commit timestamp instead of version
+        number (epoch seconds / datetime / ISO string)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = self.version_as_of(as_of)
         m = self._load_manifest(version)
         if m is None:
             if version is not None and version > 0:
@@ -1922,13 +1960,29 @@ class LakeTable:
         )
         return MergeResult(v, bid, True, rows_written=0)
 
-    def vacuum(self, keep_last: int = 1) -> dict[str, int]:
-        """Delete data files not referenced by the last ``keep_last``
-        manifests, and manifests older than that (Iceberg's
-        expire_snapshots + remove_orphan_files). Time travel remains
-        available for the kept versions. Never touches the live snapshot."""
+    def vacuum(
+        self, keep_last: int = 1, older_than_seconds: float | None = None
+    ) -> dict[str, int]:
+        """Delete data files not referenced by the retained manifests, and
+        manifests older than that (Iceberg's expire_snapshots +
+        remove_orphan_files). Time travel remains available for the kept
+        versions. Never touches the live snapshot.
+
+        ``older_than_seconds``: age-based retention — keep every version
+        committed within the window (plus the live one) regardless of
+        count; the standard "7-day time travel" policy."""
         current = self.current_version()
-        keep_versions = list(range(max(1, current - keep_last + 1), current + 1))
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            lo = current
+            for v in range(current - 1, 0, -1):
+                m = self._load_manifest(v)
+                if m is None or float(m.get("committed_at", 0.0)) < cutoff:
+                    break
+                lo = v
+            keep_versions = list(range(lo, current + 1))
+        else:
+            keep_versions = list(range(max(1, current - keep_last + 1), current + 1))
         referenced: set[str] = set()
         for v in keep_versions:
             m = self._load_manifest(v)

@@ -53,3 +53,37 @@ def test_rescale_preserves_state_and_pruning(spark, ch, tmp_path):
     got = t2.read().drop("_lsn")
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_read_as_of_timestamp_and_age_based_vacuum(spark, tmp_path):
+    import time as _time
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    df1 = spark.createDataFrame([("a", 1, 1, "upsert")],
+                                "k string, v int, lsn long, op string")
+    t.merge_into(df1, "b0")
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    df2 = spark.createDataFrame([("a", 2, 2, "upsert")],
+                                "k string, v int, lsn long, op string")
+    t.merge_into(df2, "b1")
+    # as-of between the commits serves version 1; as-of now serves latest
+    assert t.read(as_of=mid).first().v == 1
+    assert t.read(as_of=_time.time()).first().v == 2
+    assert t.version_as_of(mid) == 1
+    with pytest.raises(ValueError, match="younger"):
+        t.version_as_of(mid - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of=mid)
+    # age-based retention: a wide window keeps everything...
+    r = t.vacuum(older_than_seconds=3600)
+    assert r["removed_manifests"] == 0 and t.read(version=1).first().v == 1
+    # ...a zero window expires all but the live version
+    r = t.vacuum(older_than_seconds=0)
+    assert r["removed_manifests"] == 1
+    with pytest.raises(ValueError, match="expired"):
+        t.read(version=1)
+    assert t.read().first().v == 2
