@@ -2762,10 +2762,14 @@ def q_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.lake import LakeTable
     from .sources.registry import changelog
 
-    ch = changelog(spark, sf_dir)
+    ch = changelog(spark, sf_dir).cache()
+    # blooms off here: every lsn window of this replay touches most
+    # conversations, so the per-commit bloom build (a keys-only read-back
+    # per merge) buys no pruning — the bloom-pruned refresh path is
+    # pinned in test_agg_view.py where batches are narrow
     src = LakeTable(
         spark, tempfile.mkdtemp(prefix="aggv_src_"), ["conv_id", "turn_idx"],
-        n_buckets=16, merge_mode="mor", bloom_filters=True,
+        n_buckets=16, merge_mode="mor",
     )
     view = LakeTable(
         spark, tempfile.mkdtemp(prefix="aggv_view_"), ["conv_id"], n_buckets=8,
@@ -2781,7 +2785,11 @@ def q_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
         src.merge_into(batch, batch_id=f"aggv-b{i}")
-        refresh_agg_view(src, view, aggs)
+        # low max_probe_keys: these replay windows touch most conversations,
+        # so the adaptive fallback (one lsn-pruned scan + semi-join) is the
+        # right plan; narrow-batch point-lookup refreshes are pytest-pinned
+        refresh_agg_view(src, view, aggs, max_probe_keys=256)
+    ch.unpersist()
     return (
         view.read()
         .select("conv_id", "n_turns", "total_chars", "last_ts", "max_turn")
