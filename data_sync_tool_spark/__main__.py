@@ -86,6 +86,26 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--keep-history", action="store_true",
                     help="skip the vacuum (erasure INCOMPLETE until vacuum runs)")
 
+    ex = sub.add_parser(
+        "export", help="publish the resolved live view (or a pinned/as-of "
+        "version) as plain parquet for file-reading consumers")
+    ex.add_argument("--table", required=True, help="lake table path")
+    ex.add_argument("--keys", required=True, help="comma-separated key columns")
+    ex.add_argument("--dest", required=True, help="output parquet dir")
+    ex.add_argument("--partition-by", default=None, help="comma-separated columns")
+    ex.add_argument("--version", type=int, default=None)
+
+    mt = sub.add_parser(
+        "maintain", help="table maintenance: fold MoR deltas (optionally "
+        "z-ordered) and/or expire old versions")
+    mt.add_argument("--table", required=True, help="lake table path")
+    mt.add_argument("--keys", required=True, help="comma-separated key columns")
+    mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--zorder-by", default=None, help="comma-separated columns")
+    mt.add_argument("--max-file-rows", type=int, default=None)
+    mt.add_argument("--vacuum-keep-last", type=int, default=None)
+    mt.add_argument("--vacuum-older-than-hours", type=float, default=None)
+
     qj = sub.add_parser(
         "query", help="run a stored JSON query config (the reference api.py "
         "persistence form) against a directory of parquet tables")
@@ -119,6 +139,41 @@ def main(argv: list[str] | None = None) -> int:
             "rolled_back_to": args.version, "new_version": res.version,
             "batch_id": res.batch_id,
         }))
+        return 0
+
+    if args.cmd == "export":
+        from .sources.lake import LakeTable
+
+        table = LakeTable(spark, args.table, args.keys.split(","))
+        marker = table.export_snapshot(
+            args.dest,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+            version=args.version,
+        )
+        print(json.dumps(marker))
+        return 0
+
+    if args.cmd == "maintain":
+        from .sources.lake import LakeTable
+
+        table = LakeTable(spark, args.table, args.keys.split(","))
+        out: dict = {}
+        if args.compact or args.zorder_by:
+            res = table.compact(
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+                max_file_rows=args.max_file_rows,
+            )
+            out["compact"] = {"version": res.version, "applied": res.applied,
+                              "rows_written": res.rows_written}
+        if args.vacuum_keep_last is not None or args.vacuum_older_than_hours is not None:
+            out["vacuum"] = table.vacuum(
+                keep_last=args.vacuum_keep_last or 1,
+                older_than_seconds=(
+                    args.vacuum_older_than_hours * 3600.0
+                    if args.vacuum_older_than_hours is not None else None
+                ),
+            )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "purge":

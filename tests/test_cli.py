@@ -232,3 +232,28 @@ def test_cli_purge_subcommand(tmp_path, spark):
     after = LakeTable(spark, path, ["k"]).read()
     assert after.count() == 48
     assert after.filter(F.col("k").isin(7, 13)).count() == 0
+
+
+@pytest.mark.slow
+def test_cli_export_and_maintain_subcommands(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, ["k"], n_buckets=2, merge_mode="mor")
+    rows = spark.range(30).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit("insert").alias("op"), F.lit(1).alias("lsn"))
+    t.merge_into(rows, batch_id="b0")
+    t.merge_into(rows.withColumn("v", F.col("v") * 10).withColumn("lsn", F.lit(2)), "b1")
+
+    dest = str(tmp_path / "pub")
+    got = _run("export", "--table", path, "--keys", "k", "--dest", dest)
+    assert got["rows"] == 30
+    assert spark.read.parquet(dest).agg(F.max("v")).first()[0] == 290
+
+    got = _run("maintain", "--table", path, "--keys", "k",
+               "--compact", "--vacuum-keep-last", "1")
+    assert got["compact"]["applied"] and got["vacuum"]["removed_manifests"] >= 1
+    assert LakeTable(spark, path, ["k"]).delta_ratio() == 0.0
