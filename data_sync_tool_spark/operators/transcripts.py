@@ -70,6 +70,30 @@ def assemble_transcripts(
     )
 
 
+def transcript_agg(
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> F.Column:
+    """The transcript rendering as ONE aggregate expression (ordered
+    ``role: text`` lines joined by ``sep``), usable anywhere a per-group
+    aggregate fits — notably as an ``aggs`` entry of
+    :func:`~data_sync_tool_spark.sources.agg_view.refresh_agg_view`, which
+    makes the assembled-transcript corpus an incrementally-maintained
+    materialized view (O(changed conversations) per refresh). Ordering
+    needs no window: turns sort inside the per-group aggregate."""
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    turn = F.struct(
+        F.col(order_col).alias("_o"),
+        F.concat_ws(": ", role, text).alias("_line"),
+    )
+    return F.concat_ws(
+        sep, F.transform(F.sort_array(F.collect_list(turn)), lambda s: s["_line"])
+    )
+
+
 def assemble_changed_transcripts(
     table,
     since_lsn: int,

@@ -2846,6 +2846,58 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts-payload flagship composition: the assembled-transcript
+    corpus as an incrementally-maintained materialized view. Three CDC
+    batches land in the turn lake; after each, the view re-renders ONLY the
+    conversations that window touched (transcript_agg inside
+    refresh_agg_view). Final view ≡ rendering the full LWW state."""
+    import tempfile
+
+    from .operators.transcripts import transcript_agg
+    from .sources.agg_view import refresh_agg_view
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir).cache()
+    src = LakeTable(
+        spark, tempfile.mkdtemp(prefix="tv_src_"), ["conv_id", "turn_idx"],
+        n_buckets=16, merge_mode="mor",
+    )
+    view = LakeTable(
+        spark, tempfile.mkdtemp(prefix="tv_view_"), ["conv_id"], n_buckets=8,
+    )
+    aggs = {
+        "n_turns": F.count(F.lit(1)),
+        "transcript": transcript_agg(),
+    }
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        src.merge_into(batch, batch_id=f"tv-b{i}")
+        refresh_agg_view(src, view, aggs, name="transcripts", max_probe_keys=256)
+    ch.unpersist()
+    return view.read().select("conv_id", "n_turns", "transcript").orderBy("conv_id")
+
+
+def _oracle_transcript_view() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        ),
+        final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT conv_id, count(1) AS n_turns,
+               string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                          chr(10) ORDER BY turn_idx) AS transcript
+        FROM final GROUP BY conv_id ORDER BY conv_id
+    """
+
+
 def _oracle_time_range() -> str:
     from .sources.registry import CHANGELOG_SELECT_SQL
 
@@ -3014,5 +3066,6 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
         "agg_view_refresh": (q_agg_view_refresh, _oracle_agg_view()),
         "time_range_scan": (q_time_range_scan, _oracle_time_range()),
+        "transcript_view_refresh": (q_transcript_view_refresh, _oracle_transcript_view()),
         "point_lookup_turns": (q_point_lookup_turns, _oracle_point_lookup()),
     }

@@ -190,3 +190,32 @@ def test_streaming_pipeline_refreshes_view_per_epoch(spark, tmp_path):
     pipe2.run_available()
     assert _view(view) == _full(src)
     assert agg_view_watermark(view) is not None
+
+
+def test_transcript_agg_view_matches_batch_assembler(spark, tmp_path):
+    """transcript_agg inside refresh_agg_view renders exactly what the
+    batch assembler renders over the same final state."""
+    from data_sync_tool_spark.operators.transcripts import (
+        assemble_transcripts,
+        transcript_agg,
+    )
+
+    src, _ = _tables(spark, tmp_path)
+    view = LakeTable(spark, str(tmp_path / "tv"), ["conv_id"], n_buckets=2)
+    src.merge_into(_mk(spark, [
+        ("a", 1, "world", 1, "upsert"), ("a", 0, "hello", 2, "upsert"),
+        ("b", 0, "hi", 3, "upsert"),
+    ]), "b0")
+    # an update re-renders 'a'; deleting b's only turn removes its view row
+    src.merge_into(_mk(spark, [("a", 1, "there", 4, "upsert"),
+                               ("b", 0, None, 5, "delete")]), "b1")
+    # the test schema has no role column — conv_id stands in for it
+    refresh_agg_view(src, view, {"transcript": transcript_agg(role_col="conv_id",
+                                                              text_col="text")})
+    want = {
+        (r.conv_id, r.transcript)
+        for r in assemble_transcripts(src.read(), role_col="conv_id").select(
+            "conv_id", "transcript").collect()
+    }
+    got = {(r.conv_id, r.transcript) for r in view.read().collect()}
+    assert got == want == {("a", "a: hello\na: there")}
