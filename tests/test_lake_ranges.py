@@ -149,3 +149,18 @@ def test_norm_bound_orders_fractional_seconds_correctly(spark):
     assert frac < whole  # fixed-width strftime; isoformat would flip this
     assert nb(5) == 5 and nb("x") == "x"
     assert nb(dt.date(2024, 1, 2)) == "2024-01-02"
+
+
+def test_range_filter_pushes_to_scan_after_compact(spark, tmp_path):
+    """On a resolved table the range restriction must reach the parquet
+    scan (PushedFilters) so row groups prune server-side — TIMESTAMP_MICROS
+    output makes ts stats available to the reader."""
+    t = LakeTable(spark, str(tmp_path / "t"), KEYS, n_buckets=2,
+                  merge_mode="mor", stats_columns=["ts"])
+    rows = [(f"c{i}", 0, _day(i % 20), i, "upsert") for i in range(100)]
+    t.merge_into(_mk(spark, rows), "b0")
+    t.compact()
+    plan = t.read(ranges={"ts": [(_day(5), _day(10))]})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
