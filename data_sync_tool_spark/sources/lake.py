@@ -1548,6 +1548,54 @@ class LakeTable:
 
     # ------------------------------------------------------------ compaction
     @staticmethod
+    def _bounds_from_stats(
+        m: dict[str, Any], files: list[str], cols: list[str], df: DataFrame
+    ) -> dict[str, tuple[float, float]]:
+        """Numeric (min, max) per column derived from the manifest's
+        per-file zone maps — min-of-mins/max-of-maxes over ``files``, with
+        stored datetime images parsed back to epoch seconds. A column is
+        returned only when EVERY file carries its stats (else the caller
+        falls back to a bounds aggregate); string columns never qualify
+        (their stats don't scale numerically)."""
+        import datetime as _dt
+
+        stats = m.get("file_stats", {})
+        out: dict[str, tuple[float, float]] = {}
+        for c in cols:
+            t = df.schema[c].dataType if c in df.columns else None
+            if isinstance(t, T.StringType) or t is None:
+                continue
+
+            def num(v: Any) -> float | None:
+                if isinstance(v, (int, float)):
+                    return float(v)
+                if isinstance(v, str):
+                    try:
+                        d = _dt.datetime.fromisoformat(v)
+                    except ValueError:
+                        return None
+                    return d.replace(tzinfo=_dt.timezone.utc).timestamp()
+                return None
+
+            los: list[float] = []
+            his: list[float] = []
+            ok = bool(files)
+            for f in files:
+                cs = stats.get(f, {}).get("cs", {})
+                if c not in cs:
+                    ok = False
+                    break
+                lo, hi = num(cs[c][0]), num(cs[c][1])
+                if lo is None or hi is None:
+                    ok = False
+                    break
+                los.append(lo)
+                his.append(hi)
+            if ok:
+                out[c] = (min(los), max(his))
+        return out
+
+    @staticmethod
     def _zorder_double(df: DataFrame, c: str) -> F.Column:
         """Numeric image of a z-orderable column: timestamps (NTZ included)
         and dates go through an epoch-seconds cast — TIMESTAMP_NTZ/DATE
@@ -1666,14 +1714,23 @@ class LakeTable:
             missing = [c for c in zorder_by if c not in resolved.columns]
             if missing:
                 raise ValueError(f"zorder_by columns not in table: {missing}")
-            b_aggs = []
-            for c in zorder_by:
-                x = self._zorder_double(resolved, c)
-                b_aggs += [F.min(x).alias(f"lo_{c}"), F.max(x).alias(f"hi_{c}")]
-            row = resolved.agg(*b_aggs).first()
-            bounds = {
-                c: (row[f"lo_{c}"] or 0.0, row[f"hi_{c}"] or 0.0) for c in zorder_by
-            }
+            # bounds for the scaling lattice: prefer the manifest zone maps
+            # (min-of-mins over the dirty files — free) and only pay a
+            # bounds aggregate (an extra read of the dirty buckets) when a
+            # file lacks stats for some column. Approximate bounds would be
+            # fine for clustering; these are exact when stats cover.
+            bounds = self._bounds_from_stats(
+                m, self._files(m, dirty), zorder_by, resolved
+            )
+            need = [c for c in zorder_by if c not in bounds]
+            if need:
+                b_aggs = []
+                for c in need:
+                    x = self._zorder_double(resolved, c)
+                    b_aggs += [F.min(x).alias(f"lo_{c}"), F.max(x).alias(f"hi_{c}")]
+                row = resolved.agg(*b_aggs).first()
+                for c in need:
+                    bounds[c] = (row[f"lo_{c}"] or 0.0, row[f"hi_{c}"] or 0.0)
             resolved = resolved.withColumn(
                 "_zo", self._zorder_value(resolved, zorder_by, bounds)
             )

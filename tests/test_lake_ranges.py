@@ -164,3 +164,24 @@ def test_range_filter_pushes_to_scan_after_compact(spark, tmp_path):
         .executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_zorder_bounds_come_from_manifest_stats_when_covered(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=1,
+                  merge_mode="mor", stats_columns=["x", "ts"])
+    rows = [(f"k{i:03d}", i, _day(i % 10), i, "upsert") for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, x int, ts timestamp, lsn long, op string")
+    t.merge_into(df, "b0")
+    m = t._load_manifest()
+    files = t._files(m, None)
+    bounds = LakeTable._bounds_from_stats(m, files, ["x", "ts", "k"], t.read())
+    assert bounds["x"] == (0.0, 99.0)
+    lo, hi = bounds["ts"]
+    assert hi - lo == 9 * 86400.0  # day 0 .. day 9 as epoch seconds
+    assert "k" not in bounds  # string columns never qualify
+    # z-order compact over fully-covered stats: correct without the
+    # fallback aggregate (the derived bounds drive the same lattice)
+    t.compact(zorder_by=["x", "ts"], max_file_rows=25)
+    got = t.read(ranges={"x": [(0, 10)]}).count()
+    assert got == 10
+    assert t.audit_checksum() == t.lineage(1)[0]["table_checksum"]
