@@ -431,6 +431,8 @@ class LakeTable:
         dest: str,
         partition_by: list[str] | None = None,
         version: int | None = None,
+        as_of: Any | None = None,
+        ranges: dict[str, list[tuple[Any, Any]]] | None = None,
     ) -> dict[str, Any]:
         """Publish the resolved live view as plain parquet under ``dest`` —
         the snapshot-export / CREATE-TABLE-AS step for consumers that read
@@ -440,8 +442,10 @@ class LakeTable:
         ``_export.json`` marker (source path/version, rows) is written
         AFTER the data — its presence is the publication signal, so a
         crashed export is never half-visible. System columns are dropped;
-        the output is engine-agnostic."""
-        df = self.read(version=version)
+        the output is engine-agnostic. ``as_of``/``ranges`` compose: export
+        a past state by commit timestamp, or a slice ("last week's
+        conversations") served through the zone-map file pruning."""
+        df = self.read(version=version, as_of=as_of, ranges=ranges)
         if not df.columns:
             raise ValueError("nothing to export: table has no committed version")
         df = df.drop(*[c for c in _SYSTEM_COLS + (BUCKET_COL,) if c in df.columns])

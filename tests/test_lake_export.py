@@ -58,3 +58,17 @@ def test_export_partitioned_and_empty_table_rejected(spark, tmp_path):
     assert df.count() == 20
     # partition pruning works on the published layout
     assert df.filter(F.col("conv_id") == "c7").count() == 1
+
+
+def test_export_time_slice_via_ranges(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), KEYS, n_buckets=2,
+                  merge_mode="mor", stats_columns=["turn_idx"])
+    rows = [(f"c{i}", i, f"t{i}", i, "upsert") for i in range(40)]
+    t.merge_into(_mk(spark, rows), "b0")
+    t.compact()
+    dest = str(tmp_path / "slice")
+    marker = t.export_snapshot(dest, ranges={"turn_idx": [(10, 20)]})
+    assert marker["rows"] == 10
+    got = spark.read.parquet(dest)
+    assert got.count() == 10
+    assert {r.conv_id for r in got.collect()} == {f"c{i}" for i in range(10, 20)}
