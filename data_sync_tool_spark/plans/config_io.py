@@ -86,6 +86,7 @@ def dict_to_query(d: dict[str, Any]) -> Query:
             on=t["on"],
             alias=t.get("alias"),
             type=(t.get("type") or "inner").lower(),
+            broadcast=bool(t.get("broadcast", False)),
         )
         for t in tables
         if not t.get("primary")

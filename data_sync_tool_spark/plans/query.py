@@ -56,6 +56,12 @@ class Join:
     # + left_semi | left_anti (Spark-native extensions; the reference's block
     # diff A/D statuses are effectively anti-joins, SURVEY §2.3)
     type: str = "inner"
+    # broadcast hint for a small right side (dimension tables): skips the
+    # shuffle of the big side entirely — at 100 TB the difference between a
+    # map-side hash join and a full repartition of the fact table. Catalyst
+    # auto-broadcasts under the size threshold; the hint is for when stats
+    # are absent (fresh parquet, no ANALYZE) or the planner guesses wrong.
+    broadcast: bool = False
 
 
 @dataclass
@@ -228,6 +234,8 @@ def build_dataframe(
     df = tables[query.table].alias(query.table_alias or query.table)
     for j in query.joins:
         right = tables[j.table].alias(j.alias or j.table)
+        if j.broadcast:
+            right = F.broadcast(right)
         df = df.join(right, on=F.expr(j.on), how=j.type)
     for flt in query.filters:
         df = df.filter(_filter_condition(flt))

@@ -360,6 +360,55 @@ def q_cte_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_dataframe(spark, q, _tables(spark, sf_dir, ["orders", "customer"]))
 
 
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS through the query IR: EUROPE-nation customers
+    (broadcast SEMI join against a tiny filtered dim — map-side hash join,
+    the fact table never shuffles) with NO order above 450k (ANTI join on
+    a filtered CTE)."""
+    q = Query(
+        with_tables={
+            "eu_nations": Query(
+                select=[Field("n.n_nationkey", "n_nationkey")],
+                table="nation",
+                table_alias="n",
+                joins=[Join(table="region", alias="r",
+                            on="n.n_regionkey = r.r_regionkey")],
+                filters=[Filter("r.r_name", "=", "EUROPE")],
+            ),
+            "big_orders": Query(
+                select=[Field("o_custkey")],
+                table="orders",
+                filters=[Filter("o_totalprice", ">", 450_000.0)],
+            ),
+        },
+        select=[Field("c.c_custkey", "c_custkey"), Field("c.c_name", "c_name")],
+        table="customer",
+        table_alias="c",
+        joins=[
+            Join(table="eu_nations", alias="e",
+                 on="c.c_nationkey = e.n_nationkey",
+                 type="left_semi", broadcast=True),
+            Join(table="big_orders", alias="b", on="c.c_custkey = b.o_custkey",
+                 type="left_anti"),
+        ],
+        order_by=[("c_custkey", "asc")],
+    )
+    return build_dataframe(
+        spark, q, _tables(spark, sf_dir, ["customer", "nation", "region", "orders"])
+    )
+
+
+ORACLE_SEMI_ANTI = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    ORDER BY c_custkey
+"""
+
+
 ORACLE_CTE = """
     WITH big_orders AS (
       SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
@@ -2995,6 +3044,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "scalar_functions": (q_scalar_functions, ORACLE_SCALARS),
         "rowhash_parts": (q_rowhash_parts, ORACLE_ROWHASH),
         "cte_big_orders": (q_cte_big_orders, ORACLE_CTE),
+        "semi_anti_customers": (q_semi_anti_customers, ORACLE_SEMI_ANTI),
         "json_config_pipeline": (q_json_config_pipeline, ORACLE_JSON_CONFIG),
         "config_transform_fields": (q_config_transform, ORACLE_CONFIG_TRANSFORM),
         "union_sets": (q_union_sets, ORACLE_UNION_SETS),

@@ -218,3 +218,33 @@ def test_key_range_read_pushes_filter_to_scan(spark, tmp_path):
     assert "(k#" in scan and ">= 1100" in scan and "< 1200" in scan, scan
     # zone maps pruned commits r0/r2 before the scan: one commit's files only
     assert "InMemoryFileIndex(4 paths)" in scan, scan
+
+
+def test_ir_broadcast_hint_yields_broadcast_joins(spark):
+    """Join(broadcast=True) must compile to a broadcast hash/semi join —
+    the big side never shuffles — and left_anti stays an anti join."""
+    from data_sync_tool_spark.plans.query import (
+        Field, Filter, Join, Query, build_dataframe,
+    )
+
+    big = spark.range(10_000).select(F.col("id").alias("k"),
+                                     (F.col("id") % 7).alias("dim_id"))
+    dim = spark.range(1).select(F.col("id").alias("dim_id"))  # only dim_id=0
+    block = spark.range(100).select((F.col("id") * 100).alias("k"))
+    q = Query(
+        select=[Field("b.k", "k")],
+        table="big",
+        table_alias="b",
+        joins=[
+            Join(table="dim", alias="d", on="b.dim_id = d.dim_id",
+                 type="left_semi", broadcast=True),
+            Join(table="block", alias="x", on="b.k = x.k", type="left_anti"),
+        ],
+    )
+    df = build_dataframe(spark, q, {"big": big, "dim": dim, "block": block})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # correctness: k%7==0 rows (semi) minus the blocked 100-multiples (anti)
+    want = {k for k in range(0, 10_000) if k % 7 == 0 and k % 100 != 0}
+    assert {r.k for r in df.collect()} == want
