@@ -2798,6 +2798,55 @@ def q_lake_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_filtered_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered replica (sources/sync.py row_filter — the ClickHouse
+    materialized-view-WHERE shape): the follower holds only user turns;
+    versions failing the predicate propagate as DELETES so membership
+    changes never leave stale rows. Final state ≡ filtered LWW state."""
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+    from .sources.sync import sync_until_current
+
+    ch = changelog(spark, sf_dir).cache()
+    src = LakeTable(
+        spark, tempfile.mkdtemp(prefix="fr_src_"), ["conv_id", "turn_idx"],
+        n_buckets=16, merge_mode="mor",
+    )
+    dst = LakeTable(
+        spark, tempfile.mkdtemp(prefix="fr_dst_"), ["conv_id", "turn_idx"],
+        n_buckets=8, merge_mode="mor",
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        src.merge_into(batch, batch_id=f"fr-b{i}")
+        sync_until_current(src, dst, row_filter=F.col("role") == "user")
+    ch.unpersist()
+    return (
+        dst.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _oracle_filtered_replica() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete' AND role = 'user'
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def q_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized aggregate view (sources/agg_view.py): a
     per-conversation rollup follows the source lake through 3 CDC batches —
@@ -3114,6 +3163,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
         "bpe_token_stats": (q_bpe_token_stats, None),
         "emb_label_centroids": (q_emb_label_centroids, ORACLE_LABEL_CENTROIDS),
         "lake_sync_replay": (q_lake_sync_replay, _oracle_lake_sync()),
+        "filtered_replica_sync": (q_filtered_replica_sync, _oracle_filtered_replica()),
         "agg_view_refresh": (q_agg_view_refresh, _oracle_agg_view()),
         "time_range_scan": (q_time_range_scan, _oracle_time_range()),
         "transcript_view_refresh": (q_transcript_view_refresh, _oracle_transcript_view()),

@@ -26,6 +26,8 @@ watermark in its own target manifest.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import functions as F
 
 from .lake import BUCKET_COL, LSN_COL, SIGN_COL, LakeTable, MergeResult
@@ -51,6 +53,7 @@ def sync_step(
     name: str = "sync",
     initial_lsn: int = -1,
     strategy: str = "upsert",
+    row_filter: Any = None,
 ) -> MergeResult | None:
     """Apply one incremental sync step from ``src`` into ``dst``; returns the
     commit, or None when there is nothing new.
@@ -60,6 +63,13 @@ def sync_step(
     than trusting manifest bounds: rewrite commits (compact/rollback) carry
     conservative file bounds, and an inflated watermark would silently skip
     source rows landing under it.
+
+    ``row_filter`` (a boolean Column over source columns) makes ``dst`` a
+    FILTERED replica — the ClickHouse materialized-view-WHERE shape. A
+    version failing the predicate becomes a DELETE for its key rather than
+    being dropped: an update that moves a row out of the filter must remove
+    the row downstream, or the follower would serve the stale in-filter
+    version forever. NULL predicate results count as out-of-filter.
     """
     if src.key_cols != dst.key_cols:
         raise ValueError(
@@ -77,6 +87,13 @@ def sync_step(
         *[c for c in (BUCKET_COL, SIGN_COL) if c in feed.columns]
     ).withColumnRenamed(LSN_COL, "_sync_lsn")  # merge_into drops lsn_col after
     # recasting it to the system column — feeding LSN_COL directly would lose it
+    if row_filter is not None:
+        batch = batch.withColumn(
+            "op",
+            F.when(F.col("op") == F.lit("delete"), F.lit("delete"))
+            .when(F.coalesce(row_filter, F.lit(False)), F.col("op"))
+            .otherwise(F.lit("delete")),
+        )
     recon = _recon(name)
     return dst.merge_into(
         batch,
@@ -95,12 +112,13 @@ def sync_until_current(
     initial_lsn: int = -1,
     strategy: str = "upsert",
     max_steps: int = 1_000_000,
+    row_filter: Any = None,
 ) -> int:
     """Drain: run sync steps until the feed is empty (a bounded catch-up
     loop — the batch analogue of tailing the source). Returns steps applied."""
     steps = 0
     for _ in range(max_steps):
-        if sync_step(src, dst, name, initial_lsn, strategy) is None:
+        if sync_step(src, dst, name, initial_lsn, strategy, row_filter) is None:
             return steps
         steps += 1
     return steps

@@ -165,3 +165,34 @@ def test_sync_key_mismatch_rejected(spark, tmp_path):
     dst = LakeTable(spark, str(tmp_path / "dst"), KEYS, n_buckets=2)
     with pytest.raises(ValueError, match="matching keys"):
         sync_step(src, dst)
+
+
+def test_filtered_replica_tracks_membership_changes(spark, tmp_path):
+    """row_filter makes the follower a filtered replica: rows entering the
+    predicate appear, rows leaving it are DELETED downstream (not left
+    stale), and the final state equals the filtered LWW state."""
+    src = LakeTable(spark, str(tmp_path / "src"), KEYS, n_buckets=2, merge_mode="mor")
+    dst = LakeTable(spark, str(tmp_path / "dst"), KEYS, n_buckets=2, merge_mode="mor")
+    flt = F.col("text").startswith("keep")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, lsn long, op string"
+        )
+
+    src.merge_into(mk([("a", 0, "keep v1", 1, "upsert"),
+                       ("b", 0, "drop v1", 2, "upsert")]), "b0")
+    sync_until_current(src, dst, row_filter=flt)
+    assert {r.conv_id for r in dst.read().collect()} == {"a"}
+    # a leaves the filter; b enters it; c arrives in-filter then is deleted
+    src.merge_into(mk([("a", 0, "drop v2", 3, "upsert"),
+                       ("b", 0, "keep v2", 4, "upsert"),
+                       ("c", 0, "keep v1", 5, "upsert")]), "b1")
+    src.merge_into(mk([("c", 0, None, 6, "delete")]), "b2")
+    sync_until_current(src, dst, row_filter=flt)
+    got = {(r.conv_id, r.text) for r in dst.read().collect()}
+    assert got == {("b", "keep v2")}
+    # equals filtering the source's live state directly
+    want = {(r.conv_id, r.text)
+            for r in src.read().filter(flt).collect()}
+    assert got == want
