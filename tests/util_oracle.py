@@ -23,6 +23,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
+    if df.empty:  # apply(axis=1) on an empty frame returns a DataFrame,
+        return pd.Series([], dtype=str)  # whose sort_values needs `by`
     return df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
 
 
