@@ -1950,6 +1950,39 @@ class LakeTable:
             report["vacuum"] = self.vacuum(keep_last=1)
         return report
 
+    def purge_where(
+        self,
+        condition: F.Column,
+        batch_id: str | None = None,
+        vacuum_history: bool = True,
+        max_keys: int = 1_000_000,
+    ) -> dict[str, Any]:
+        """Predicate erasure ("delete every conversation matching X"):
+        resolve the keys whose LIVE row matches ``condition``, then
+        :meth:`purge_keys` them. Deliberately key-based, never
+        version-based — physically removing individual row VERSIONS that
+        match a predicate on a mutable column would resurrect the
+        next-older version of any key whose latest row matched. One
+        filtered scan to find the keys (predicate pushes to the parquet
+        scan on resolved tables), then the bounded bloom-pruned rewrite."""
+        m = self._load_manifest()
+        if m is None:
+            return {"version": 0, "committed": False,
+                    "files_rewritten": 0, "rows_purged": 0}
+        key0 = self.key_cols[0]
+        rows = (
+            self.read().filter(condition).select(key0).distinct()
+            .limit(max_keys + 1).collect()
+        )
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"purge_where matched more than {max_keys} keys — this is a "
+                f"table rewrite, not an erasure; use overwrite() or raise max_keys"
+            )
+        return self.purge_keys(
+            [r[0] for r in rows], batch_id=batch_id, vacuum_history=vacuum_history
+        )
+
     def rescale(self, n_buckets: int, batch_id: str | None = None) -> MergeResult:
         """Rewrite the table under a new bucket count (Iceberg
         REPLACE PARTITION FIELD + rewrite). One full read→write; subsequent
