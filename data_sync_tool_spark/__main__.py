@@ -86,6 +86,18 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--keep-history", action="store_true",
                     help="skip the vacuum (erasure INCOMPLETE until vacuum runs)")
 
+    rv = sub.add_parser(
+        "refresh-view", help="run one incremental refresh of a materialized "
+        "aggregate view (per-group rollup following the source's change feed)")
+    rv.add_argument("--src", required=True, help="source lake table path")
+    rv.add_argument("--src-keys", required=True, help="comma-separated key columns")
+    rv.add_argument("--view", required=True, help="view lake table path")
+    rv.add_argument("--aggs", required=True,
+                    help="';'-separated name=SQL-aggregate list, e.g. "
+                    "\"n_turns=count(1); last_ts=max(ts)\"")
+    rv.add_argument("--where", default=None, help="SQL predicate over source rows")
+    rv.add_argument("--name", default="aggview")
+
     ex = sub.add_parser(
         "export", help="publish the resolved live view (or a pinned/as-of "
         "version) as plain parquet for file-reading consumers")
@@ -138,6 +150,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "rolled_back_to": args.version, "new_version": res.version,
             "batch_id": res.batch_id,
+        }))
+        return 0
+
+    if args.cmd == "refresh-view":
+        from pyspark.sql import functions as F
+
+        from .sources.agg_view import agg_view_watermark, parse_agg_spec, refresh_agg_view
+        from .sources.lake import LakeTable
+
+        src_keys = args.src_keys.split(",")
+        src_t = LakeTable(spark, args.src, src_keys)
+        view_t = LakeTable(spark, args.view, [src_keys[0]])
+        res = refresh_agg_view(
+            src_t, view_t, parse_agg_spec(args.aggs), name=args.name,
+            row_filter=F.expr(args.where) if args.where else None,
+        )
+        print(json.dumps({
+            "applied": bool(res and res.applied),
+            "view_version": view_t.current_version(),
+            "watermark": agg_view_watermark(view_t, args.name),
         }))
         return 0
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .lake import LSN_COL, LakeTable, MergeResult
 
-__all__ = ["AggViewSpec", "refresh_agg_view", "agg_view_watermark"]
+__all__ = ["AggViewSpec", "parse_agg_spec", "refresh_agg_view", "agg_view_watermark"]
 
 
 def agg_view_watermark(view: LakeTable, name: str = "aggview") -> int | None:
@@ -53,6 +53,26 @@ def agg_view_watermark(view: LakeTable, name: str = "aggview") -> int | None:
 
 def _recon(name: str) -> str:
     return f"agg_view:{name}"
+
+
+def parse_agg_spec(spec: str) -> dict[str, Column]:
+    """Parse a declarative aggregate list — ``"name=expr; name2=expr2"``
+    with SQL aggregate expressions (``n_turns=count(1);
+    last_ts=max(ts)``) — into an ``aggs`` dict. ';'-separated because
+    aggregate expressions contain commas. The stored-config / CLI surface
+    for materialized views."""
+    out: dict[str, Column] = {}
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, expr = part.partition("=")
+        if not _ or not name.strip() or not expr.strip():
+            raise ValueError(f"agg spec entries are 'name=expr', got {part!r}")
+        out[name.strip()] = F.expr(expr.strip())
+    if not out:
+        raise ValueError("empty agg spec")
+    return out
 
 
 @dataclass

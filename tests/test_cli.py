@@ -257,3 +257,33 @@ def test_cli_export_and_maintain_subcommands(tmp_path, spark):
                "--compact", "--vacuum-keep-last", "1")
     assert got["compact"]["applied"] and got["vacuum"]["removed_manifests"] >= 1
     assert LakeTable(spark, path, ["k"]).delta_ratio() == 0.0
+
+
+@pytest.mark.slow
+def test_cli_refresh_view_subcommand(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    src_path, view_path = str(tmp_path / "src"), str(tmp_path / "view")
+    src = LakeTable(spark, src_path, ["k", "i"], n_buckets=2)
+    rows = spark.createDataFrame(
+        [(f"g{i % 3}", i, i * 1.0, i, "upsert") for i in range(30)],
+        "k string, i int, v double, lsn long, op string")
+    src.merge_into(rows, "b0")
+
+    got = _run("refresh-view", "--src", src_path, "--src-keys", "k,i",
+               "--view", view_path, "--name", "stats",
+               "--aggs", "n=count(1); total=sum(v)", "--where", "i >= 3")
+    assert got["applied"] and got["watermark"] == 29
+    view = LakeTable(spark, view_path, ["k"])
+    out = {(r.k, r.n, r.total) for r in view.read().collect()}
+    want = {(r.k, r.n, r.total) for r in
+            src.read().filter(F.col("i") >= 3).groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")).collect()}
+    assert out == want and len(out) == 3
+    # second run with nothing new: no-op, watermark unchanged
+    got2 = _run("refresh-view", "--src", src_path, "--src-keys", "k,i",
+                "--view", view_path, "--name", "stats",
+                "--aggs", "n=count(1); total=sum(v)", "--where", "i >= 3")
+    assert not got2["applied"] and got2["watermark"] == 29
