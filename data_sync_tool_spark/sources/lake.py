@@ -141,6 +141,12 @@ _BLOOM_M_MIN = 1 << 10
 _BLOOM_BITS_PER_KEY = 13  # m ≈ 13n with k=3 → fp ≈ 1%
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this operation's manifest read and
+    its commit; committing the stale bucket map would silently drop the
+    other writer's files. The operation was NOT applied — retry it."""
+
+
 @dataclass
 class MergeResult:
     version: int
@@ -1153,8 +1159,30 @@ class LakeTable:
         new_digests: dict[str, dict[str, Any]] | None = None,
         batch_total: dict[str, Any] | None = None,
         extra_file_stats: dict[str, dict[str, Any]] | None = None,
+        base_version: int | None = None,
+        rebase: Any = None,
     ) -> int:
+        """``base_version``: the manifest version the caller BUILT ``buckets``
+        from. If another writer committed in between, the stale bucket map
+        would silently drop their files — so a mismatch either raises
+        :class:`ConcurrentWriteError` (caller retries its whole operation)
+        or, when ``rebase`` is given, rebuilds ``buckets`` against the
+        current manifest (``rebase(current_buckets) -> buckets``) — the
+        optimistic path for maintenance ops whose edits commute with
+        concurrent ingest (compact: replace folded files, keep new deltas)."""
         prev = self._load_manifest()
+        if base_version is not None:
+            cur_v = int(prev["version"]) if prev else 0
+            if cur_v != base_version:
+                if rebase is None:
+                    raise ConcurrentWriteError(
+                        f"manifest advanced v{base_version} -> v{cur_v} while "
+                        f"'{lineage.get('op', batch_id)}' was running; retry the "
+                        f"operation against the current state"
+                    )
+                buckets = rebase(dict(prev["buckets"]) if prev else {})
+                lineage = {**lineage, "rebased_from": base_version,
+                           "rebased_onto": cur_v}
         recent = [b for b in (prev or {}).get("committed_batch_ids", []) if b != batch_id]
         recent.append(batch_id)
         # per-file lsn bounds (conservative: a commit's files inherit the
@@ -1384,7 +1412,8 @@ class LakeTable:
             **stats,
             **(lineage_extra or {}),
         }
-        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot,
+                         base_version=(int(m["version"]) if m else 0))
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     @staticmethod
@@ -1446,7 +1475,8 @@ class LakeTable:
             "touched_buckets": sorted(int(b) for b in new),
             "rows_written": rows_written, **stats, **(lineage_extra or {}),
         }
-        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot,
+                         base_version=(int(m["version"]) if m else 0))
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     def _merge_collapse(
@@ -1519,7 +1549,8 @@ class LakeTable:
         # through _commit like every other strategy: persists n_buckets (a
         # rescale()d table must not fall back to the constructor default) and
         # maintains the file-digest cache / batch checksum
-        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot)
+        v = self._commit(buckets, data_schema, batch_id, lineage, dig, tot,
+                         base_version=(int(m["version"]) if m else 0))
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
     def changes_since(self, lsn: int) -> DataFrame:
@@ -1757,8 +1788,33 @@ class LakeTable:
         rows = self._count_rows(new_files)
         lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
                    "compacted_buckets": sorted(dirty)}
+        # optimistic rebase: compact is the maintenance op that runs beside
+        # live ingest ("a background job that never blocks ingest"). If a
+        # merge committed while we rewrote, the folded state is still valid
+        # — it covers everything up to our read — and the racer's files must
+        # survive: per dirty bucket, replace exactly the files we folded
+        # with the new base and KEEP any delta the racer appended since (it
+        # LWW-supersedes the folded base on read, like any pending delta).
+        folded = set(self._files(m, dirty))
+
+        def rebase(cur: dict[str, Any]) -> dict[str, Any]:
+            out2 = {b: {"base": list(e.get("base", [])),
+                        "delta": list(e.get("delta", []))}
+                    for b, e in cur.items()}
+            for b in dirty:
+                e = out2.get(str(b), {"base": [], "delta": []})
+                e["base"] = [f for f in e["base"] if f not in folded]
+                e["delta"] = [f for f in e["delta"] if f not in folded]
+                out2[str(b)] = e
+            for b, fs in new.items():
+                e = out2.setdefault(b, {"base": [], "delta": []})
+                e["base"] = fs + e["base"]
+            return {b: e for b, e in out2.items()
+                    if e.get("base") or e.get("delta")}
+
         v = self._commit(out, schema, bid, lineage, dig, tot,
-                         extra_file_stats=key_stats)
+                         extra_file_stats=key_stats,
+                         base_version=int(m["version"]), rebase=rebase)
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     # ------------------------------------------------------------- utilities
@@ -1798,7 +1854,8 @@ class LakeTable:
         rows = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": bid, "op": "expire_tombstones", "rows_written": rows,
                    "older_than_lsn": older_than_lsn}
-        v = self._commit(buckets, schema, bid, lineage, dig, tot)
+        v = self._commit(buckets, schema, bid, lineage, dig, tot,
+                         base_version=int(m["version"]))
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     def purge_keys(
@@ -1941,6 +1998,7 @@ class LakeTable:
         v = self._commit(
             out_buckets, schema, bid, lineage, all_digests, batch_total,
             extra_file_stats=self._file_key_stats(new_files_all),
+            base_version=int(m["version"]),
         )
         report.update(
             version=v, committed=True, files_rewritten=n_rewritten,
@@ -2007,7 +2065,8 @@ class LakeTable:
         rows = self._count_rows([f for fs in new.values() for f in fs])
         lineage = {"batch_id": bid, "op": "rescale", "rows_written": rows,
                    "n_buckets": n_buckets}
-        v = self._commit(buckets, schema, bid, lineage, dig, tot)
+        v = self._commit(buckets, schema, bid, lineage, dig, tot,
+                         base_version=int(m["version"]))
         return MergeResult(v, bid, True, sorted(int(b) for b in new), rows)
 
     def rollback(self, version: int, batch_id: str | None = None) -> MergeResult:
