@@ -289,6 +289,7 @@ class LakeTable:
         rows = [
             {
                 "version": rec.get("version"),
+                "committed_at": rec.get("committed_at"),
                 "op": rec.get("op"),
                 "batch_id": rec.get("batch_id"),
                 "rows_written": rec.get("rows_written"),
@@ -299,8 +300,9 @@ class LakeTable:
             for rec in self.lineage(last=last)
         ]
         schema = (
-            "version long, op string, batch_id string, rows_written long, "
-            "offset_min long, offset_max long, table_checksum long"
+            "version long, committed_at double, op string, batch_id string, "
+            "rows_written long, offset_min long, offset_max long, "
+            "table_checksum long"
         )
         return self.spark.createDataFrame(rows, schema)
 
@@ -315,7 +317,9 @@ class LakeTable:
         for v in range(lo, current + 1):
             m = self._load_manifest(v)
             if m is not None:
-                out.append(m.get("lineage", {}) | {"version": v})
+                out.append(m.get("lineage", {}) | {
+                    "version": v, "committed_at": m.get("committed_at"),
+                })
         return out
 
     # ---------------------------------------------------------------- common

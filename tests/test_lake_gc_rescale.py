@@ -87,3 +87,17 @@ def test_read_as_of_timestamp_and_age_based_vacuum(spark, tmp_path):
     with pytest.raises(ValueError, match="expired"):
         t.read(version=1)
     assert t.read().first().v == 2
+
+
+def test_history_surfaces_commit_timestamps(spark, tmp_path):
+    import time as _time
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    before = _time.time()
+    t.merge_into(spark.createDataFrame([("a", 1, 1, "upsert")],
+                                       "k string, v int, lsn long, op string"), "b0")
+    rec = t.history().collect()[0]
+    assert before <= rec.committed_at <= _time.time()
+    assert t.lineage()[0]["committed_at"] == rec.committed_at
