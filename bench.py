@@ -32,6 +32,48 @@ def _t(fn):
     return round(time.time() - t0, 3)
 
 
+def _bw_burn(_):
+    # fixed-work streaming array math: wall time ∝ 1/memory-bandwidth
+    import numpy as np
+
+    a = np.zeros(20_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        _ = a * 1.5 + 2.0
+    return time.time() - t0
+
+
+def host_canary(spark) -> dict[str, float]:
+    """Fixed-work host-speed probe emitted alongside every bench record so
+    BENCH_rN is self-normalizing: this shared host swings multi-x between
+    recording windows (hypervisor neighbors, memory-bandwidth contention —
+    the r4 headline read 2.1x slower with byte-identical code). Two probes:
+
+    - ``bw8_sec``: 8 processes × fixed numpy streaming math — saturates the
+      memory bus exactly like the replay's shuffle/write path does.
+    - ``shuffle_sec``: a fixed Spark shuffle job (range → hash agg → count)
+      through the same JVM the replay uses.
+
+    Compare canary values across BENCH_rN records before comparing
+    headlines: replay_sec scales ~linearly with both."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(8) as p:
+        p.map(_bw_burn, range(8))
+    bw8 = round(time.time() - t0, 3)
+    from pyspark.sql import functions as F
+
+    def job():
+        (spark.range(0, 20_000_000, numPartitions=32)
+         .groupBy((F.col("id") % 4096).alias("k"))
+         .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+         .agg(F.sum("s"), F.sum("n")).collect())
+
+    job()  # warm the plan/codegen once; measure the steady-state run
+    return {"bw8_sec": bw8, "shuffle_sec": _t(job)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_events = int(os.environ.get("DST_BENCH_EVENTS", "4000000"))
@@ -47,6 +89,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
+    canary_pre = host_canary(spark)
 
     # ---- headline: streaming CDC replay on synthetic binlog -----------------
     work = tempfile.mkdtemp(prefix="dst_bench_")
@@ -122,6 +165,7 @@ def main() -> None:
         final_rows = table.read().count()
         queries["final_read"] = round(time.time() - t0, 3)
         events_per_sec = round(n_events / replay_sec, 1)
+        canary_post = host_canary(spark)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -139,6 +183,8 @@ def main() -> None:
                     "events_per_sec": events_per_sec,
                     "replay_reps": replay_secs,
                     "final_table_rows": final_rows,
+                    "host_canary_pre": canary_pre,
+                    "host_canary_post": canary_post,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
                 }
             )
@@ -175,6 +221,8 @@ def main() -> None:
                 "replay_reps": replay_secs,
                 "query_reps": query_reps,
                 "final_table_rows": final_rows,
+                "host_canary_pre": canary_pre,
+                "host_canary_post": canary_post,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
             }
         )

@@ -163,19 +163,22 @@ class Pipeline:
         if apply:
             next_lsn = lsn if lsn is not None else sink_lake.current_version() + 1
             # repair reads the sink restricted to the divergent ranges; when
-            # the reconcile partitions on the lake's key column, the manifest
-            # key zone maps prune whole FILES before the scan (watermark-
-            # ordered ingest lands each commit in a narrow key band, so a
-            # repair of 2% of the range opens ~2% of the delta files) — the
-            # row-level range restriction plan_repair applies is unchanged
+            # the reconcile partitions on ANY of the lake's key columns, the
+            # manifest per-column key zone maps prune whole FILES before the
+            # scan (watermark-ordered ingest lands each commit in a narrow
+            # key band, so a repair of 2% of the range opens ~2% of the
+            # delta files) — the row-level range restriction plan_repair
+            # applies is unchanged
             snk_rep = snk
             ranges = [(b.start, b.end) for b in blocks]
             if (
                 ranges
-                and rc.partition_column == sink_lake.key_cols[0]
+                and rc.partition_column in sink_lake.key_cols
                 and rc.partition_column_type == "int"
             ):
-                snk_rep = sink_lake.read(key_ranges=ranges).drop("_lsn")
+                snk_rep = sink_lake.read(
+                    key_ranges=ranges, key_ranges_col=rc.partition_column,
+                ).drop("_lsn")
             changes = plan_repair(
                 src, snk_rep, cfg, blocks, unique_keys=keys,
                 allow_delete=self.pconf.merge_strategy.allow_delete, lsn=next_lsn,

@@ -103,6 +103,7 @@ def refresh_agg_view(
     name: str = "aggview",
     row_filter: Column | None = None,
     max_probe_keys: int = 100_000,
+    max_lsn: int | None = None,
 ) -> MergeResult | None:
     """Run one incremental refresh of ``view`` = ``src`` grouped by its
     first key column, aggregated with ``aggs`` (output name → aggregate
@@ -118,6 +119,14 @@ def refresh_agg_view(
     up to ``max_probe_keys`` groups, and fall back to a scan-plus-semi-join
     above it (a refresh touching millions of groups is closer to a rebuild,
     and a driver-side key list that size helps nobody).
+
+    ``max_lsn`` refreshes only through that source offset (bounded catch-up,
+    see ``LakeTable.changes_since``): the affected-group feed, the recorded
+    watermark, and — on bootstrap — the aggregated state all stop at the
+    bound. Non-bootstrap recomputes read the source's CURRENT state for the
+    affected groups; a later refresh covering the remaining window converges
+    the view (same eventual-consistency contract as an unbounded refresh
+    racing live ingest).
     """
     group = src.key_cols[0]
     if view.key_cols != [group]:
@@ -128,7 +137,7 @@ def refresh_agg_view(
     if not aggs:
         raise ValueError("aggs must name at least one aggregate expression")
     last = agg_view_watermark(view, name)
-    feed = src.changes_since(-1 if last is None else last)
+    feed = src.changes_since(-1 if last is None else last, max_lsn=max_lsn)
     if not feed.columns:
         return None
     hi = feed.agg(F.max(LSN_COL)).first()[0]
@@ -138,8 +147,17 @@ def refresh_agg_view(
     if last is None:
         # bootstrap: every group is affected — aggregate the full live view
         # and skip both the probe and the vanished-group anti-join (the view
-        # is empty; there is nothing to delete)
-        current = src.read()
+        # is empty; there is nothing to delete). Under max_lsn the live view
+        # may already be past the bound, so resolve the as-of-bound state
+        # from the bounded feed instead (LWW over every version ≤ max_lsn).
+        if max_lsn is None:
+            current = src.read()
+        else:
+            from ..operators.dedupe import replay_final_state
+
+            current = replay_final_state(
+                feed, src.key_cols, lsn_col=LSN_COL, op_col="op"
+            )
         if row_filter is not None:
             current = current.filter(row_filter)
         batch = current.groupBy(group).agg(*agg_cols)

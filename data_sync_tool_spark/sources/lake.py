@@ -247,10 +247,17 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         final = self._manifest_path(version)
-        if os.path.exists(final):  # pragma: no cover - single-writer guard
-            os.unlink(tmp)
+        # Atomic create-if-absent publish: os.link fails with EEXIST if a
+        # racing writer already claimed this version number, whereas an
+        # exists()-check + rename would let the later rename silently
+        # clobber the earlier commit (POSIX rename overwrites). This is
+        # the filesystem analogue of Iceberg's catalog compare-and-swap.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             raise RuntimeError(f"concurrent commit detected at version {version}")
-        os.rename(tmp, final)
+        finally:
+            os.unlink(tmp)
         return version
 
     def version_as_of(self, ts: Any) -> int:
@@ -401,16 +408,22 @@ class LakeTable:
         return out
 
     def _probe_keys(
-        self, keys: list[Any], key_type: T.DataType
+        self, keys: list[Any], key_type: T.DataType,
+        n_buckets: int | None = None,
     ) -> list[tuple[Any, int, list[int]]]:
         """(key, bucket, bloom positions) for each probe key — ONE tiny job
         over the bounded key list, using the same bucket/bloom expressions
-        as the write path."""
+        as the write path. ``n_buckets`` MUST come from the manifest being
+        probed, not the constructor cache: a long-lived handle used after
+        another process rescale()s would otherwise prune to wrong buckets
+        and silently miss rows (hash-bucket pruning is not conservative
+        under a stale bucket count, unlike range/bloom pruning)."""
         kt = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField("k", key_type)])
         )
         bucket = F.pmod(
-            F.xxhash64(F.col("k").cast("string")), F.lit(self.n_buckets)
+            F.xxhash64(F.col("k").cast("string")),
+            F.lit(int(n_buckets if n_buckets is not None else self.n_buckets)),
         ).cast("int")
         rows = kt.select(
             F.col("k"), bucket.alias("b"),
@@ -455,6 +468,15 @@ class LakeTable:
         the output is engine-agnostic. ``as_of``/``ranges`` compose: export
         a past state by commit timestamp, or a slice ("last week's
         conversations") served through the zone-map file pruning."""
+        # Resolve the exported version up front so the marker records the
+        # version the data actually came from (with as_of, read() would
+        # resolve an older version internally while the marker naively
+        # claimed current_version()).
+        if as_of is not None:
+            version = self.version_as_of(as_of)
+            as_of = None
+        elif version is None:
+            version = self.current_version()
         df = self.read(version=version, as_of=as_of, ranges=ranges)
         if not df.columns:
             raise ValueError("nothing to export: table has no committed version")
@@ -470,7 +492,7 @@ class LakeTable:
         got = obs.get.get("n")
         marker = {
             "source_path": self.path,
-            "source_version": int(version or self.current_version()),
+            "source_version": int(version),
             "rows": int(got) if got is not None else 0,
         }
         with open(os.path.join(dest, "_export.json"), "w") as f:
@@ -555,15 +577,19 @@ class LakeTable:
         keys: list[Any] | None = None,
         ranges: dict[str, list[tuple[Any, Any]]] | None = None,
         as_of: Any | None = None,
+        key_ranges_col: str | None = None,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
         manifest IS the file index). In MoR state, base∪delta are LWW-resolved
         on the fly. Tombstones filtered unless ``include_deleted``.
 
-        ``key_ranges``: half-open ``[lo, hi)`` ranges over the FIRST key
-        column. Files whose manifest key zone map cannot intersect any range
-        are skipped entirely (conservative: stats-less files always read),
+        ``key_ranges``: half-open ``[lo, hi)`` ranges over a KEY column —
+        the first by default, any other via ``key_ranges_col`` (per-column
+        commit zone maps cover every key column, so a composite key whose
+        first column is low-cardinality still prunes on the selective one).
+        Files whose manifest key zone map cannot intersect any range are
+        skipped entirely (conservative: stats-less files always read),
         then rows are filtered to the ranges. LWW stays correct under
         pruning: every version of an in-range key lives in a file whose
         bounds cover that key, so no version is dropped before the resolve.
@@ -606,7 +632,8 @@ class LakeTable:
             keys = list(keys)
             key_type = schema[self.key_cols[0]].dataType
             probe_map = {}
-            for pk in self._probe_keys(keys, key_type) if keys else []:
+            mb = int(m.get("n_buckets", self.n_buckets))
+            for pk in (self._probe_keys(keys, key_type, n_buckets=mb) if keys else []):
                 probe_map.setdefault(pk[1], []).append(pk)
             kb = sorted(probe_map)
             buckets = kb if buckets is None else sorted(set(buckets) & set(kb))
@@ -627,15 +654,35 @@ class LakeTable:
             base_files = [f for f in base_files if bloom_keep(f)]
             delta_files = [f for f in delta_files if bloom_keep(f)]
         if key_ranges:
+            kr_col = key_ranges_col or self.key_cols[0]
+            if kr_col not in self.key_cols:
+                # only KEY columns are MoR-safe to file-prune with pending
+                # deltas (a key never changes across its versions); non-key
+                # columns go through ranges= (resolved-bucket pruning only)
+                raise ValueError(
+                    f"key_ranges_col must be a key column {self.key_cols}, "
+                    f"got {kr_col!r}"
+                )
             stats = m.get("file_stats", {})
+            first_key = kr_col == self.key_cols[0]
 
             def may_intersect(f: str) -> bool:
-                st = stats.get(f)
-                if not st or "key_max" not in st:
-                    return True
+                st = stats.get(f) or {}
+                # both sources may exist (loose commit-level kzm + tight
+                # per-file footer key_min/key_max after a clustered compact):
+                # intersect — each is a sound cover, so their intersection is
+                # the tightest sound bound
+                bounds = (st.get("kzm") or {}).get(kr_col)
+                if first_key and "key_max" in st:
+                    pf = (st["key_min"], st["key_max"])
+                    bounds = pf if bounds is None else (
+                        max(bounds[0], pf[0]), min(bounds[1], pf[1])
+                    )
+                if bounds is None:
+                    return True  # stats-less file: always read (conservative)
+                mn, mx = bounds
                 return any(
-                    (hi is None or st["key_min"] < hi)
-                    and (lo is None or st["key_max"] >= lo)
+                    (hi is None or mn < hi) and (lo is None or mx >= lo)
                     for lo, hi in key_ranges
                 )
 
@@ -673,7 +720,8 @@ class LakeTable:
             delta_files = [f for f in delta_files if range_keep(f)]
         df = self._read_files(base_files + delta_files, schema)
         if key_ranges and df.columns:
-            df = self._apply_key_ranges(df, key_ranges)
+            df = self._apply_key_ranges(df, key_ranges,
+                                        col=key_ranges_col or self.key_cols[0])
         if keys is not None and df.columns:
             k0 = F.col(self.key_cols[0])
             if not keys:
@@ -714,19 +762,21 @@ class LakeTable:
         return df
 
     def _apply_key_ranges(
-        self, df: DataFrame, key_ranges: list[tuple[Any, Any]]
+        self, df: DataFrame, key_ranges: list[tuple[Any, Any]],
+        col: str | None = None,
     ) -> DataFrame:
         """Exact row-level restriction to half-open key ranges. Few ranges
         compile to an OR chain (codegen-friendly, pushes to the scan); a
         diff-sized list (reconcile repair of a very drifted table) becomes a
         broadcast range semi-join instead of a 10k-term expression tree."""
-        key = F.col(self.key_cols[0])
+        kc = col or self.key_cols[0]
+        key = F.col(kc)
         bounded = [r for r in key_ranges if r[0] is not None and r[1] is not None]
         if len(key_ranges) > 128 and len(bounded) == len(key_ranges):
             rng = self.spark.createDataFrame(
                 bounded, T.StructType([
-                    T.StructField("r_lo", df.schema[self.key_cols[0]].dataType),
-                    T.StructField("r_hi", df.schema[self.key_cols[0]].dataType),
+                    T.StructField("r_lo", df.schema[kc].dataType),
+                    T.StructField("r_hi", df.schema[kc].dataType),
                 ])
             )
             return df.join(
@@ -840,20 +890,29 @@ class LakeTable:
                 # batch's [lsn_min, lsn_max] — a sound (conservative) file-
                 # pruning index for changes_since(); two scalar aggregates
                 aggs += [F.min(LSN_COL).alias("lsn_min"), F.max(LSN_COL).alias("lsn_max")]
-                # key zone map (same trick, same cost): commit-level min/max
-                # of the first key column, JSON-storable types only. Prunes
+                # key zone maps (same trick, same cost): commit-level min/max
+                # of EVERY key column, JSON-storable types only. Prunes
                 # key-range reads (reconcile repair) when ingest has key
                 # locality — watermark-ordered int keys land each commit's
-                # delta files in a narrow key band. Hash-bucketed random keys
-                # give full-range bounds and prune nothing (inherent to any
-                # zone map); pruning is conservative either way.
-                key = self.key_cols[0]
-                if key in clustered.columns and isinstance(
-                    clustered.schema[key].dataType,
-                    (T.IntegralType, T.FloatType, T.DoubleType, T.StringType),
-                ):
+                # delta files in a narrow key band. Per-column (not just the
+                # first key) so a composite key whose first column is
+                # low-cardinality still prunes on the selective column.
+                # Hash-bucketed random keys give full-range bounds and prune
+                # nothing (inherent to any zone map); pruning is conservative
+                # either way. Cost: two scalar aggregates per key column,
+                # riding the write job's existing observe().
+                key_zone_cols = [
+                    kc for kc in self.key_cols
+                    if kc in clustered.columns and isinstance(
+                        clustered.schema[kc].dataType,
+                        (T.IntegralType, T.FloatType, T.DoubleType, T.StringType),
+                    )
+                ]
+                if key_zone_cols:
                     key_stats = True
-                    aggs += [F.min(key).alias("key_min"), F.max(key).alias("key_max")]
+                    for i, kc in enumerate(key_zone_cols):
+                        aggs += [F.min(kc).alias(f"kzmin{i}"),
+                                 F.max(kc).alias(f"kzmax{i}")]
             to_write = src.observe(obs, *aggs)
             if want_digests:
                 to_write = to_write.drop("_rh_obs")
@@ -890,9 +949,19 @@ class LakeTable:
             if want_lsn and got.get("lsn_max") is not None:
                 total["lsn_min"] = int(got["lsn_min"])
                 total["lsn_max"] = int(got["lsn_max"])
-                if key_stats and got.get("key_max") is not None:
-                    total["key_min"] = got["key_min"]
-                    total["key_max"] = got["key_max"]
+                if key_stats:
+                    kzm = {
+                        kc: [got[f"kzmin{i}"], got[f"kzmax{i}"]]
+                        for i, kc in enumerate(key_zone_cols)
+                        if got.get(f"kzmax{i}") is not None
+                    }
+                    if kzm:
+                        total["kzm"] = kzm
+                        # first-key bounds also kept under the legacy names
+                        # (older manifests / readers use key_min/key_max)
+                        if self.key_cols[0] in kzm:
+                            total["key_min"] = kzm[self.key_cols[0]][0]
+                            total["key_max"] = kzm[self.key_cols[0]][1]
         return out, digests, total or None
 
     @staticmethod
@@ -1184,6 +1253,24 @@ class LakeTable:
                         f"'{lineage.get('op', batch_id)}' was running; retry the "
                         f"operation against the current state"
                     )
+                # The optimistic rebase commutes ONLY with additive merge
+                # appends (the racer's delta files LWW-supersede our new
+                # base on read). A racing compact/rescale would leave two
+                # bases for the same rows (duplicates, and read() skips the
+                # LWW resolve with no pending deltas); a racing purge would
+                # resurrect erased rows from our pre-purge snapshot. Walk
+                # the intervening commits and refuse to rebase over any
+                # non-merge op — the caller retries from fresh state.
+                for iv in range(base_version + 1, cur_v + 1):
+                    ivm = self._load_manifest(iv)
+                    iop = str((ivm or {}).get("lineage", {}).get("op", ""))
+                    if not iop.startswith("merge:"):
+                        raise ConcurrentWriteError(
+                            f"manifest advanced v{base_version} -> v{cur_v} with a "
+                            f"non-append commit '{iop or 'unknown'}' at v{iv}; "
+                            f"'{lineage.get('op', batch_id)}' cannot rebase over it — "
+                            f"retry against the current state"
+                        )
                 buckets = rebase(dict(prev["buckets"]) if prev else {})
                 lineage = {**lineage, "rebased_from": base_version,
                            "rebased_onto": cur_v}
@@ -1200,6 +1287,8 @@ class LakeTable:
             if "key_max" in batch_total:  # key zone map rides the same entry
                 bounds["key_min"] = batch_total["key_min"]
                 bounds["key_max"] = batch_total["key_max"]
+            if "kzm" in batch_total:  # per-key-column zone maps, same entry
+                bounds["kzm"] = batch_total["kzm"]
             for f in live_files:
                 file_stats.setdefault(f, bounds)
         # per-file overrides (key-clustered compact footers, rollback
@@ -1557,7 +1646,7 @@ class LakeTable:
                          base_version=(int(m["version"]) if m else 0))
         return MergeResult(v, batch_id, True, sorted(int(b) for b in new), rows_written, stats)
 
-    def changes_since(self, lsn: int) -> DataFrame:
+    def changes_since(self, lsn: int, max_lsn: int | None = None) -> DataFrame:
         """Incremental change feed (Delta-CDF / Iceberg-changelog analogue,
         and the lake-native version of the reference's updated_at incremental
         strategy, ``otel.py:83-84``): every stored row version with
@@ -1569,16 +1658,28 @@ class LakeTable:
         (consumers LWW by key+_lsn); history older than the last
         compaction/rewrite is not replayable (files inherit the REWRITE
         commit's bounds), exactly like table-format changelogs after a
-        rewrite."""
+        rewrite.
+
+        ``max_lsn`` bounds the window from above (Kafka endOffsets-style
+        bounded consumption: replay "up to here", not "to current") — files
+        entirely past the bound are pruned the same way. The bound is
+        faithful at COMMIT granularity: a merge batch stores only its
+        within-batch LWW winners, so a bound cutting through the middle of
+        one commit's lsn range cannot recover versions that commit already
+        superseded (same contract as replaying a table-format changelog)."""
         m = self._load_manifest()
         if m is None:
             return self.spark.createDataFrame([], T.StructType([]))
         stats = m.get("file_stats", {})
         files = [
             f for f in self._files(m, None)
-            if f not in stats or stats[f].get("lsn_max", lsn + 1) > lsn
+            if (f not in stats or stats[f].get("lsn_max", lsn + 1) > lsn)
+            and (max_lsn is None or f not in stats
+                 or stats[f].get("lsn_min", max_lsn) <= max_lsn)
         ]
         df = self._read_files(files, self._schema_of(m)).filter(F.col(LSN_COL) > lsn)
+        if max_lsn is not None and df.columns:
+            df = df.filter(F.col(LSN_COL) <= max_lsn)
         if DELETED_COL in df.columns:
             op = F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")) \
                 .otherwise(F.lit("upsert"))
@@ -1910,7 +2011,8 @@ class LakeTable:
         key0 = self.key_cols[0]
         key_type = schema[key0].dataType
         probe_map: dict[int, list[tuple[Any, int, list[int]]]] = {}
-        for pk in self._probe_keys(keys, key_type):
+        mb = int(m.get("n_buckets", self.n_buckets))
+        for pk in self._probe_keys(keys, key_type, n_buckets=mb):
             probe_map.setdefault(pk[1], []).append(pk)
         stats = m.get("file_stats", {})
         affected: dict[str, dict[str, list[str]]] = {}
@@ -2118,7 +2220,8 @@ class LakeTable:
         return MergeResult(v, bid, True, rows_written=0)
 
     def vacuum(
-        self, keep_last: int = 1, older_than_seconds: float | None = None
+        self, keep_last: int = 1, older_than_seconds: float | None = None,
+        orphan_grace_seconds: float = 3600.0,
     ) -> dict[str, int]:
         """Delete data files not referenced by the retained manifests, and
         manifests older than that (Iceberg's expire_snapshots +
@@ -2127,7 +2230,15 @@ class LakeTable:
 
         ``older_than_seconds``: age-based retention — keep every version
         committed within the window (plus the live one) regardless of
-        count; the standard "7-day time travel" policy."""
+        count; the standard "7-day time travel" policy.
+
+        ``orphan_grace_seconds``: files never referenced by ANY manifest
+        (retained or expired) may be a concurrent writer's staged-but-
+        uncommitted snapshot — deleting them kills the in-flight commit
+        (the classic VACUUM hazard Delta guards with its retention window).
+        They are removed only once older than the grace. Files referenced
+        by EXPIRED manifests are history and are removed immediately — so
+        ``purge_keys``'s erase-now contract is unaffected."""
         current = self.current_version()
         if older_than_seconds is not None:
             cutoff = time.time() - older_than_seconds
@@ -2145,6 +2256,15 @@ class LakeTable:
             m = self._load_manifest(v)
             if m:
                 referenced.update(self._files(m, None))
+        # files referenced only by EXPIRED manifests: true history, removable
+        # now (collected before those manifests are unlinked below)
+        expired_refs: set[str] = set()
+        for v in range(1, keep_versions[0]):
+            m = self._load_manifest(v)
+            if m:
+                expired_refs.update(self._files(m, None))
+        expired_refs -= referenced
+        now = time.time()
         data_root = os.path.join(self.path, _DATA_DIR)
         removed_files = 0
         for snap in sorted(os.listdir(data_root)):
@@ -2153,6 +2273,14 @@ class LakeTable:
                 for fn in files:
                     p = os.path.join(root, fn)
                     if p.endswith(".parquet") and p not in referenced:
+                        if p not in expired_refs:
+                            # never referenced by any manifest: possibly a
+                            # concurrent writer's staged snapshot — grace
+                            try:
+                                if now - os.path.getmtime(p) < orphan_grace_seconds:
+                                    continue
+                            except OSError:
+                                continue
                         os.unlink(p)
                         removed_files += 1
                     elif not fn.endswith(".parquet") and fn.startswith(("_", ".")):

@@ -54,6 +54,7 @@ def sync_step(
     initial_lsn: int = -1,
     strategy: str = "upsert",
     row_filter: Any = None,
+    max_lsn: int | None = None,
 ) -> MergeResult | None:
     """Apply one incremental sync step from ``src`` into ``dst``; returns the
     commit, or None when there is nothing new.
@@ -70,6 +71,10 @@ def sync_step(
     being dropped: an update that moves a row out of the filter must remove
     the row downstream, or the follower would serve the stale in-filter
     version forever. NULL predicate results count as out-of-filter.
+
+    ``max_lsn`` caps this step at a known source offset (bounded catch-up —
+    replay "through lsn X", not "to current"): the feed, the merged rows,
+    and the recorded watermark all stop at the bound.
     """
     if src.key_cols != dst.key_cols:
         raise ValueError(
@@ -77,7 +82,7 @@ def sync_step(
         )
     last = sync_watermark(dst, name)
     last = initial_lsn if last is None else last
-    feed = src.changes_since(last)
+    feed = src.changes_since(last, max_lsn=max_lsn)
     if not feed.columns:  # source has never committed
         return None
     hi = feed.agg(F.max(LSN_COL)).first()[0]
@@ -113,12 +118,15 @@ def sync_until_current(
     strategy: str = "upsert",
     max_steps: int = 1_000_000,
     row_filter: Any = None,
+    max_lsn: int | None = None,
 ) -> int:
     """Drain: run sync steps until the feed is empty (a bounded catch-up
-    loop — the batch analogue of tailing the source). Returns steps applied."""
+    loop — the batch analogue of tailing the source). Returns steps applied.
+    ``max_lsn`` drains only through that source offset (see sync_step)."""
     steps = 0
     for _ in range(max_steps):
-        if sync_step(src, dst, name, initial_lsn, strategy, row_filter) is None:
+        if sync_step(src, dst, name, initial_lsn, strategy, row_filter,
+                     max_lsn=max_lsn) is None:
             return steps
         steps += 1
     return steps

@@ -219,3 +219,61 @@ def test_transcript_agg_view_matches_batch_assembler(spark, tmp_path):
     }
     got = {(r.conv_id, r.transcript) for r in view.read().collect()}
     assert got == want == {("a", "a: hello\na: there")}
+
+def test_bounded_refresh_stepwise_equals_interleaved(spark, tmp_path):
+    """``max_lsn`` bounded refresh against a FULLY-replayed source: the
+    bootstrap aggregates the LWW state as-of the bound (resolved from the
+    bounded feed, since the live table is already past it), later windows
+    refresh only their affected groups, and the final view equals the full
+    GROUP BY of the final LWW state."""
+    rows = [
+        ("a", 0, "a0", 1, "upsert"),
+        ("b", 0, "b0", 2, "upsert"),
+        ("a", 1, "a1", 3, "upsert"),
+        ("a", 0, "a0v2", 4, "upsert"),   # window 2: update
+        ("b", 0, None, 5, "delete"),     # window 2: group vanishes
+        ("c", 0, "c0", 6, "upsert"),     # window 3: new group
+        ("a", 1, None, 7, "delete"),     # window 3: retraction-hostile max
+    ]
+    src = LakeTable(spark, str(tmp_path / "src"), KEYS, n_buckets=2, merge_mode="mor")
+    # fully replayed up front, in the same commit windows the bounds target
+    # (max_lsn is faithful at COMMIT granularity: a merge batch stores only
+    # its within-batch LWW winners, like any table-format changelog)
+    lo = 0
+    for i, hi in enumerate((3, 5, 7)):
+        src.merge_into(_mk(spark, [r for r in rows if lo < r[3] <= hi]),
+                       batch_id=f"src-w{i}")
+        lo = hi
+    view = LakeTable(spark, str(tmp_path / "view"), ["conv_id"], n_buckets=2)
+    for hi in (3, 5, 7):
+        refresh_agg_view(src, view, _aggs(), max_lsn=hi)
+        assert agg_view_watermark(view) == hi
+    assert _view(view) == _full(src)
+    # the first bounded refresh must NOT have seen past its bound: replay
+    # the same windows into a fresh interleaved pair and compare per-step
+    src2 = LakeTable(spark, str(tmp_path / "src2"), KEYS, n_buckets=2, merge_mode="mor")
+    view2 = LakeTable(spark, str(tmp_path / "view2"), ["conv_id"], n_buckets=2)
+    lo = 0
+    for i, hi in enumerate((3, 5, 7)):
+        batch = [r for r in rows if lo < r[3] <= hi]
+        src2.merge_into(_mk(spark, batch), batch_id=f"w{i}")
+        refresh_agg_view(src2, view2, _aggs())
+        lo = hi
+    assert _view(view2) == _view(view)
+
+
+def test_bounded_refresh_bootstrap_state_is_as_of_bound(spark, tmp_path):
+    """A view bootstrapped with max_lsn and never refreshed again must show
+    the as-of-bound state, not the final one (the live read would)."""
+    rows = [
+        ("a", 0, "old", 1, "upsert"),
+        ("a", 0, "new", 2, "upsert"),
+        ("b", 0, "late", 3, "upsert"),
+    ]
+    src = LakeTable(spark, str(tmp_path / "src"), KEYS, n_buckets=2, merge_mode="mor")
+    src.merge_into(_mk(spark, rows[:1]), batch_id="w0")
+    src.merge_into(_mk(spark, rows[1:]), batch_id="w1")
+    view = LakeTable(spark, str(tmp_path / "view"), ["conv_id"], n_buckets=2)
+    refresh_agg_view(src, view, {"txt": F.max("text")}, max_lsn=1)
+    got = {(r.conv_id, r.txt) for r in view.read().collect()}
+    assert got == {("a", "old")}  # neither lsn 2's value nor group b leaked

@@ -90,3 +90,73 @@ def test_stale_data_merge_raises_instead_of_clobbering(spark, tmp_path):
     assert {(r.conv_id, r.text) for r in a.read().collect()} == {
         ("x", "v2"), ("r", "racer")
     }
+
+def test_compact_refuses_rebase_over_racing_purge(spark, tmp_path):
+    """The optimistic rebase commutes only with additive merge appends. A
+    purge landing mid-compact must ABORT the compact: its new base was
+    built from the pre-purge snapshot, and blindly prepending it would
+    resurrect the erased payload in the live view (RTBF violation)."""
+    path = str(tmp_path / "t")
+    a = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    b = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    a.merge_into(_mk(spark, [("x", 0, "secret", 1, "upsert"),
+                             ("y", 0, "keep", 2, "upsert")]), "b0")
+    a.merge_into(_mk(spark, [("y", 0, "keep2", 3, "upsert")]), "b1")
+
+    restore = _inject_during_write(a, lambda: b.purge_keys(["x"]))
+    try:
+        with pytest.raises(ConcurrentWriteError, match="non-append"):
+            a.compact()
+    finally:
+        restore()
+    # purge won; the erased key never reappears — retry compacts cleanly
+    assert {(r.conv_id, r.text) for r in a.read().collect()} == {("y", "keep2")}
+    a.compact()
+    assert {(r.conv_id, r.text) for r in a.read().collect()} == {("y", "keep2")}
+
+
+def test_compact_refuses_rebase_over_racing_compact(spark, tmp_path):
+    """Two compacts racing: the second rebase would prepend a SECOND base
+    next to the first's (duplicate rows, and with no pending deltas read()
+    skips the LWW resolve) — so the loser must raise, not rebase."""
+    path = str(tmp_path / "t")
+    a = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    b = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    a.merge_into(_mk(spark, [("x", 0, "v1", 1, "upsert")]), "b0")
+    a.merge_into(_mk(spark, [("x", 0, "v2", 2, "upsert"),
+                             ("y", 0, "w", 3, "upsert")]), "b1")
+
+    restore = _inject_during_write(a, lambda: b.compact())
+    try:
+        with pytest.raises(ConcurrentWriteError, match="non-append"):
+            a.compact()
+    finally:
+        restore()
+    got = {(r.conv_id, r.text) for r in a.read().collect()}
+    assert got == {("x", "v2"), ("y", "w")}
+    # no duplicate rows served (the hazard a blind double-rebase creates)
+    assert a.read().count() == 2
+
+
+def test_manifest_publish_is_atomic_create_if_absent(spark, tmp_path):
+    """The manifest publish must be create-if-absent (os.link semantics),
+    not exists()+rename — rename silently clobbers a commit that landed
+    between the check and the rename."""
+    import os
+
+    path = str(tmp_path / "t")
+    a = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    a.merge_into(_mk(spark, [("x", 0, "v1", 1, "upsert")]), "b0")
+    # a racer publishes version 2 AFTER our current_version() read (pin the
+    # read stale to land exactly in the check-then-publish window)
+    nxt = a._manifest_path(2)
+    with open(nxt, "w") as f:
+        f.write('{"version": 2, "buckets": {}, "committed_batch_ids": []}')
+    a.current_version = lambda: 1  # type: ignore[method-assign]
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        a._commit_manifest({"buckets": {}, "committed_batch_ids": []})
+    # the racer's manifest was NOT overwritten, and no tmp files leak
+    with open(nxt) as f:
+        assert '"version": 2' in f.read()
+    mdir = os.path.dirname(nxt)
+    assert not [p for p in os.listdir(mdir) if p.startswith(".tmp-")]

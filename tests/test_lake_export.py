@@ -72,3 +72,20 @@ def test_export_time_slice_via_ranges(spark, tmp_path):
     got = spark.read.parquet(dest)
     assert got.count() == 10
     assert {r.conv_id for r in got.collect()} == {f"c{i}" for i in range(10, 20)}
+
+def test_export_as_of_marker_records_resolved_version(spark, tmp_path):
+    """With as_of, the marker's source_version must be the RESOLVED (older)
+    version the data came from, not the table's current version."""
+    import time
+
+    t = LakeTable(spark, str(tmp_path / "t"), KEYS, n_buckets=2, merge_mode="mor")
+    t.merge_into(_mk(spark, [("a", 0, "v1", 1, "upsert")]), "b0")
+    cut = time.time()
+    time.sleep(0.05)
+    t.merge_into(_mk(spark, [("a", 0, "v2", 2, "upsert")]), "b1")
+    dest = str(tmp_path / "pub")
+    marker = t.export_snapshot(dest, as_of=cut)
+    assert marker["source_version"] == 1 != t.current_version()
+    assert [r.text for r in spark.read.parquet(dest).collect()] == ["v1"]
+    with open(os.path.join(dest, "_export.json")) as f:
+        assert json.load(f)["source_version"] == 1

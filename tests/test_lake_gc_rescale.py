@@ -101,3 +101,27 @@ def test_history_surfaces_commit_timestamps(spark, tmp_path):
     rec = t.history().collect()[0]
     assert before <= rec.committed_at <= _time.time()
     assert t.lineage()[0]["committed_at"] == rec.committed_at
+
+def test_point_lookup_follows_manifest_bucket_count_after_rescale(spark, ch, tmp_path):
+    """A long-lived handle probing read(keys=...) after ANOTHER process
+    rescale()d the table must bucket the probe keys with the manifest's
+    bucket count, not its constructor-cached one — hash-bucket pruning is
+    not conservative under a stale count (wrong bucket = silent misses)."""
+    path = str(tmp_path / "t")
+    stale = LakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4,
+                      merge_mode="mor")
+    stale.merge_into(ch, batch_id="b0")
+    want = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in stale.read(keys=["conv-1", "conv-7"]).collect()
+    }
+    assert want  # probe keys exist in the fixture
+    other = LakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4,
+                      merge_mode="mor")
+    other.rescale(16)
+    assert stale.n_buckets == 4  # handle really is stale
+    got = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in stale.read(keys=["conv-1", "conv-7"]).collect()
+    }
+    assert got == want

@@ -375,3 +375,41 @@ def test_strategy_switch_upsert_to_collapse_converges(spark, tmp_path):
     t.compact()  # physical fold: same state, checksum restored + auditable
     check(t.read())
     assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+
+def test_composite_key_zone_maps_prune_on_second_key_column(spark, tmp_path, monkeypatch):
+    """Per-column key zone maps: a composite key whose FIRST column is
+    low-cardinality (a handful of tenants) must still prune range reads on
+    the selective SECOND key column — first-column bounds alone span the
+    whole domain every commit and prune nothing."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["tenant", "seq"], n_buckets=4,
+                  merge_mode="mor", checksum=False)
+    for i in range(5):  # every commit touches every tenant: loose 1st-col bounds
+        b = spark.range(i * 1000, (i + 1) * 1000).select(
+            (F.col("id") % 3).cast("string").alias("tenant"),
+            F.col("id").alias("seq"), (F.col("id") * 2).alias("v"),
+            F.lit("insert").alias("op"), F.col("id").alias("lsn"),
+        )
+        t.merge_into(b, batch_id=f"r{i}")
+    m = t._load_manifest()
+    st = m["file_stats"]
+    all_files = t._files(m, None)
+    assert all("kzm" in st.get(f, {}) and "seq" in st[f]["kzm"] for f in all_files)
+    opened: list[str] = []
+    orig = LakeTable._read_files
+    monkeypatch.setattr(
+        LakeTable, "_read_files",
+        lambda self, files, schema: (opened.extend(files), orig(self, files, schema))[1],
+    )
+    out = t.read(key_ranges=[(2100, 2200)], key_ranges_col="seq")
+    assert sorted(r.seq for r in out.collect()) == list(range(2100, 2200))
+    # only commit r2's files (seq 2000-2999) qualify: ≤ n_buckets of ~20
+    assert 0 < len(opened) <= 4, opened
+    assert len(opened) < len(all_files)
+    # first-column bounds really are useless here (they span every commit)
+    opened.clear()
+    assert t.read(key_ranges=[("1", "2")]).count() == 1667
+    assert len(opened) == len(all_files)
+    # non-key columns are rejected (MoR-unsafe to file-prune under deltas)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key_ranges_col"):
+        t.read(key_ranges=[(0, 1)], key_ranges_col="v")

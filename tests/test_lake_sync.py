@@ -196,3 +196,38 @@ def test_filtered_replica_tracks_membership_changes(spark, tmp_path):
     want = {(r.conv_id, r.text)
             for r in src.read().filter(flt).collect()}
     assert got == want
+
+def test_bounded_sync_drains_fully_replayed_source_stepwise(spark, ch, tmp_path):
+    """``max_lsn`` = Kafka endOffsets-style bounded catch-up: draining an
+    ALREADY fully-replayed source window-by-window must produce, after each
+    bound, the same follower state as a follower that synced interleaved
+    with ingest — and the same final state."""
+    src = LakeTable(spark, str(tmp_path / "src"), KEYS, n_buckets=4, merge_mode="mor")
+    live = LakeTable(spark, str(tmp_path / "live"), KEYS, n_buckets=8, merge_mode="mor")
+    batches = _batches(ch, 3)
+    his = []
+    for i, b in enumerate(batches):
+        src.merge_into(b, batch_id=f"b{i}")
+        his.append(b.agg(F.max("lsn")).first()[0])
+    # interleaved reference follower
+    for i, b in enumerate(batches):
+        live.merge_into(b, batch_id=f"b{i}")
+    # bounded follower: source is fully replayed BEFORE any sync runs
+    dst = LakeTable(spark, str(tmp_path / "dst"), KEYS, n_buckets=8, merge_mode="mor")
+    for hi in his:
+        res = sync_step(src, dst, max_lsn=int(hi))
+        assert res is not None and res.applied
+        assert sync_watermark(dst) == int(hi)  # watermark stops AT the bound
+    assert _rows(dst) == _rows(src) == _rows(live)
+    # nothing left past the last bound
+    assert sync_step(src, dst) is None
+
+
+def test_bounded_sync_merges_no_rows_past_the_bound(spark, ch, tmp_path):
+    src = LakeTable(spark, str(tmp_path / "src"), KEYS, n_buckets=4, merge_mode="mor")
+    src.merge_into(ch, batch_id="all")
+    mid = int(ch.agg(F.max("lsn")).first()[0]) // 2
+    dst = LakeTable(spark, str(tmp_path / "dst"), KEYS, n_buckets=4, merge_mode="mor")
+    sync_until_current(src, dst, max_lsn=mid)
+    assert dst.read(include_deleted=True).filter(F.col("_lsn") > mid).count() == 0
+    assert sync_watermark(dst) == mid or sync_watermark(dst) <= mid

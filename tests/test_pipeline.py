@@ -213,3 +213,82 @@ def test_schema_validation_rejects_unknown_columns(spark, sf_small, tmp_path):
     pipe = Pipeline(spark, Config.load(str(p)), "orders_sync")
     with pytest.raises(SchemaValidationError, match="nonexistent_col"):
         pipe.source_df()
+
+COMPOSITE_YAML = YAML.replace(
+    "meta_columns: {{unique_columns: [o_orderkey], partition_column: o_orderkey}}",
+    "meta_columns: {{unique_columns: [o_orderstatus, o_orderkey], partition_column: o_orderkey}}",
+).replace(
+    "fields:\n        - {{column: o_orderkey, dtype: int}}",
+    "fields:\n        - {{column: o_orderstatus, dtype: str}}\n"
+    "        - {{column: o_orderkey, dtype: int}}",
+)
+
+
+def test_repair_prunes_on_second_key_column(spark, sf_small, tmp_path, monkeypatch):
+    """Composite key whose FIRST column is low-cardinality (o_orderstatus:
+    3 values, so first-key bounds span the domain every commit): the repair
+    read must pass key_ranges over the SELECTIVE second key column
+    (key_ranges_col=o_orderkey) and open a bounded file subset via the
+    per-column key zone maps."""
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        COMPOSITE_YAML.format(sf=sf_small, lake=tmp_path / "lake").replace(
+            'n_buckets: "8"', 'n_buckets: "8", merge_mode: mor'
+        )
+    )
+    pipe = Pipeline(spark, Config.load(str(cfg_path)), "orders_sync")
+    lake = pipe.sink_lake()
+    assert lake.key_cols == ["o_orderstatus", "o_orderkey"]
+    src = pipe.source_df()
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    step = (hi - lo) // 4 + 1
+    for i in range(4):  # watermark-ordered: narrow o_orderkey band per commit
+        b = src.filter(
+            (F.col("o_orderkey") >= lo + i * step) & (F.col("o_orderkey") < lo + (i + 1) * step)
+        )
+        lake.merge_into(
+            b.withColumn("op", F.lit("upsert")).withColumn("lsn", F.lit(i + 1).cast("long")),
+            batch_id=f"slice{i}",
+        )
+    drifted = lake.read().filter(
+        (F.col("o_orderkey") >= lo + step) & (F.col("o_orderkey") < lo + 2 * step)
+    ).drop("_lsn").withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    lake.merge_into(
+        drifted.withColumn("op", F.lit("upsert")).withColumn("lsn", F.lit(5).cast("long")),
+        batch_id="drift",
+    )
+    n_files_total = len(lake._files(lake._load_manifest(), None))
+    seen: list = []
+    pruned_opens: list[int] = []
+    orig_read = LakeTable.read
+    orig_files = LakeTable._read_files
+
+    def spy_read(self, *a, **kw):
+        if kw.get("key_ranges"):
+            seen.append((kw.get("key_ranges"), kw.get("key_ranges_col")))
+            opened: list[str] = []
+            monkeypatch.setattr(
+                LakeTable, "_read_files",
+                lambda s, files, schema: (opened.extend(files),
+                                          orig_files(s, files, schema))[1],
+            )
+            try:
+                return orig_read(self, *a, **kw)
+            finally:
+                monkeypatch.setattr(LakeTable, "_read_files", orig_files)
+                pruned_opens.append(len(opened))
+        return orig_read(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy_read)
+    out = pipe.run_reconciliation("full", apply=True)
+    monkeypatch.setattr(LakeTable, "read", orig_read)
+    assert out["counts"]["M"] > 0
+    assert seen and all(col == "o_orderkey" for _, col in seen)
+    # the repair read opened a strict subset of the table's files (the
+    # drifted slice is ~1/4 of the key span; first-key bounds alone would
+    # have opened everything)
+    assert pruned_opens and max(pruned_opens) < n_files_total
+    out2 = pipe.run_reconciliation("full", apply=False)
+    assert out2["counts"]["M"] == 0 and out2["counts"]["A"] == 0 and out2["counts"]["D"] == 0
