@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--vacuum-keep-last", type=int, default=None)
     mt.add_argument("--vacuum-older-than-hours", type=float, default=None)
 
+    sub.add_parser(
+        "canary", help="fixed-work host-speed probe (numpy bandwidth + "
+        "Spark shuffle) — run beside any benchmark so its numbers are "
+        "comparable across hosts/recording windows")
+
     qj = sub.add_parser(
         "query", help="run a stored JSON query config (the reference api.py "
         "persistence form) against a directory of parquet tables")
@@ -141,6 +146,19 @@ def main(argv: list[str] | None = None) -> int:
     from .session import build_session
 
     spark = build_session(f"dst-{args.cmd}")
+
+    if args.cmd == "canary":
+        import os as _os
+        import sys as _sys
+
+        # bench.py lives at the repo root beside the package; children of
+        # the spawn pool re-import it by name, so it must be a real module
+        # on sys.path, not an exec'd file
+        _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        import bench as _bench
+
+        print(json.dumps(_bench.host_canary(spark)))
+        return 0
 
     if args.cmd == "rollback":
         from .sources.lake import LakeTable

@@ -145,6 +145,27 @@ def pq_encode(
     )
 
 
+def _lut_udf(bc_books):
+    """Arrow-batched LUT construction on the EXECUTORS — the distributed
+    twin of the driver-side loop in pq_topk, for corpus-sized query sets."""
+
+    @F.pandas_udf("array<array<double>>")
+    def lut(v: pd.Series) -> pd.Series:
+        books = bc_books.value  # (m, k, dsub)
+        m, _, dsub = books.shape
+        out = []
+        for vec in v:
+            q = np.asarray(vec, dtype=np.float64)
+            q = q / max(float(np.linalg.norm(q)), 1e-12)
+            out.append([
+                [float(x) for x in q[s * dsub:(s + 1) * dsub] @ books[s].T]
+                for s in range(m)
+            ])
+        return pd.Series(out)
+
+    return lut
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -153,6 +174,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "codes",
+    max_queries: int = 65_536,
+    distributed_luts: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc) approximate top-k by asymmetric
     distance: the corpus side is the CODES table only. Each query's m×k
@@ -160,30 +183,52 @@ def pq_topk(
     (queries are the small side) and broadcast; scoring is pure JVM —
     ``adc = Σ_sub lut[sub][code[sub]]`` via ``zip_with`` + ``aggregate``
     over the code array, so the hot path moves ~m ints + one LUT probe
-    per scored pair, never a vector."""
+    per scored pair, never a vector.
+
+    The driver-side LUT build bounds the query batch at ``max_queries``
+    (serving-sized; past it the collect itself is the bottleneck) and
+    raises past the bound. For CORPUS-sized query sets pass
+    ``distributed_luts=True``: LUTs are built executor-side by an
+    Arrow-batched UDF and the query side joins as a regular (non-broadcast)
+    relation — no driver collect anywhere; the all-pairs scoring join is
+    then the (intended) cost. Both paths score identically
+    (pytest-pinned); for sub-all-pairs scaling use ``ivfpq_topk``."""
     books = np.asarray(books, dtype=np.float64)
     m, kk, dsub = books.shape
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        spark = codes.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc double"
-        )
-    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
-    luts = []
-    for qi, row in enumerate(q_rows):
-        lut = [
-            [float(x) for x in qmat[qi, sub * dsub:(sub + 1) * dsub] @ books[sub].T]
-            for sub in range(m)
-        ]
-        luts.append((row[id_col], lut))
     spark = codes.sparkSession
-    qdf = spark.createDataFrame(
-        luts, "query_id long, lut array<array<double>>"
-    )
+    if distributed_luts:
+        bc = spark.sparkContext.broadcast(books)
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            _lut_udf(bc)(F.col(vec_col)).alias("lut"),
+        )
+    else:
+        q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"pq_topk collects the query batch driver-side to build ADC "
+                f"LUTs; got more than max_queries={max_queries} queries. "
+                f"Pass distributed_luts=True (executor-side LUTs, no "
+                f"collect) or bucket with ivfpq_topk."
+            )
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, adc double"
+            )
+        qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+        luts = []
+        for qi, row in enumerate(q_rows):
+            lut = [
+                [float(x) for x in qmat[qi, sub * dsub:(sub + 1) * dsub] @ books[sub].T]
+                for sub in range(m)
+            ]
+            luts.append((row[id_col], lut))
+        qdf = F.broadcast(spark.createDataFrame(
+            luts, "query_id long, lut array<array<double>>"
+        ))
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), F.col(code_col))
-        .join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
+        .join(qdf, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -453,6 +498,7 @@ def ivfpq_topk(
     refine: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """ADC top-k against a persisted IVF-PQ index. Probe selection and the
     per-(query, list) LUTs are computed driver-side from the tiny centroid
@@ -461,10 +507,21 @@ def ivfpq_topk(
     moves codes, never vectors. With ``refine`` (a DataFrame carrying the
     raw vectors) the ADC top ``k × oversample`` candidates are exactly
     re-ranked by cosine — the candidates-then-attach shape; without it the
-    ADC scores rank directly. Returns (query_id, neighbor_id, score)."""
+    ADC scores rank directly. Returns (query_id, neighbor_id, score).
+
+    The driver-side probe/LUT build bounds the query batch at
+    ``max_queries`` and raises past it (a 10^6-query batch would be
+    driver-bound here — split it, or score flat codes with
+    ``pq_topk(distributed_luts=True)``)."""
     cmat, books = _load_ivfpq(spark, path)
     m, kk, dsub = books.shape
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk builds per-query probe lists and ADC LUTs "
+            f"driver-side; got more than max_queries={max_queries} queries. "
+            f"Split the query batch, or use pq_topk(distributed_luts=True)."
+        )
     if not q_rows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, score double")
     qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))

