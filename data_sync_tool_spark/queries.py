@@ -3115,9 +3115,60 @@ def _oracle_lake_sync() -> str:
     """
 
 
+def q_cdc_quarantine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated CDC merge (CHECK constraints + row-level DLQ): replay
+    the change stream into a lake declaring ``length(text) <= 20`` with
+    ``on_violation="quarantine"`` — violating VERSIONS divert to the
+    quarantine sink (as if they never arrived), so LWW serves each key's
+    latest VALID version; deletes are exempt. Final live state ≡ LWW over
+    (deletes ∪ valid upserts), which the DuckDB oracle states directly."""
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, _scratch_dir("qg_"), ["conv_id", "turn_idx"], n_buckets=8,
+        merge_mode="mor", constraints={"text_len": "length(text) <= 20"},
+        on_violation="quarantine",
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 2)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"qg-b{i}")
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _oracle_quarantine() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        valid AS (
+          -- SQL CHECK semantics: violation only when the expression is
+          -- FALSE; NULL passes (hence the COALESCE TRUE)
+          SELECT * FROM changes
+          WHERE op = 'delete' OR COALESCE(length(text) <= 20, TRUE)
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM valid
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
+        "cdc_quarantine_final_state": (q_cdc_quarantine_final_state,
+                                       _oracle_quarantine()),
         "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_AGG_PRICING),
         "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE_STATS),
         "pivot_returnflag": (q_pivot_returnflag, ORACLE_PIVOT),

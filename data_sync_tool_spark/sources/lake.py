@@ -141,6 +141,11 @@ _BLOOM_M_MIN = 1 << 10
 _BLOOM_BITS_PER_KEY = 13  # m ≈ 13n with k=3 → fp ≈ 1%
 
 
+class ConstraintViolationError(ValueError):
+    """A merge batch contains rows failing the table's CHECK constraints
+    and the table is configured ``on_violation="error"``."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this operation's manifest read and
     its commit; committing the stale bucket map would silently drop the
@@ -172,9 +177,15 @@ class LakeTable:
         idempotence_window: int = 10_000,
         bloom_filters: bool = False,
         stats_columns: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
+        on_violation: str = "error",
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
+        if on_violation not in ("error", "quarantine"):
+            raise ValueError(
+                f"on_violation must be error|quarantine, got {on_violation}"
+            )
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
@@ -204,6 +215,18 @@ class LakeTable:
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         # the manifest is authoritative for the bucket count (rescale
         # persists it); a constructor mismatch silently follows the manifest
+        # CHECK constraints (Delta CHECK-constraint analogue): name → SQL
+        # boolean expression over data columns, enforced on every merge for
+        # non-delete rows. A row violates when the expression is FALSE
+        # (NULL passes, SQL CHECK semantics). on_violation="error" aborts
+        # the batch (nothing committed); "quarantine" diverts violating
+        # rows to {path}/_quarantine/<batch_id> (the row-level DLQ) and
+        # merges the rest, recording rows_quarantined in lineage — so a
+        # quarantined VERSION is as if it never arrived: LWW serves the
+        # key's previous value. Cost: one extra O(batch) job per merge
+        # (the violation probe / quarantine write); zero when unset.
+        self.constraints = dict(constraints or {})
+        self.on_violation = on_violation
         m = self._load_manifest()
         if m is not None and m.get("n_buckets"):
             self.n_buckets = int(m["n_buckets"])
@@ -211,6 +234,11 @@ class LakeTable:
             # follow the manifest like n_buckets; an explicit constructor
             # list still wins (enables stats on an existing table)
             self.stats_columns = list(m.get("stats_columns", []))
+        if m is not None and not self.constraints:
+            # constraints are TABLE properties: persisted in the manifest so
+            # every writer handle enforces them, not just the declaring one
+            self.constraints = dict(m.get("constraints", {}))
+            self.on_violation = m.get("on_violation", self.on_violation)
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, version: int) -> str:
@@ -1334,6 +1362,8 @@ class LakeTable:
             "schema": json.dumps(data_schema.jsonValue()),
             "n_buckets": self.n_buckets,
             "stats_columns": self.stats_columns,
+            "constraints": self.constraints,
+            "on_violation": self.on_violation,
             "committed_batch_ids": recent[-self.idempotence_window:],
             "file_stats": file_stats,
             "watermarks": watermarks,
@@ -1377,6 +1407,82 @@ class LakeTable:
         return MergeResult(v, batch_id, True, [int(b) for b in new], n)
 
     # ----------------------------------------------------------------- merge
+    def _enforce_constraints(
+        self, batch: DataFrame, batch_id: str
+    ) -> tuple[DataFrame, int]:
+        """Apply the table's CHECK constraints to a change batch (non-delete
+        rows only — a delete carries no payload to validate). Violation =
+        expression evaluates FALSE (NULL passes, SQL CHECK semantics).
+
+        ``error``: raise :class:`ConstraintViolationError` with a bounded
+        row sample before anything is written — the batch retries after the
+        producer fixes it (exactly-once is unaffected: nothing committed).
+        ``quarantine``: violating rows are written to
+        ``{path}/_quarantine/<batch_id>`` with a ``_violations`` reason
+        array + ``_batch_id`` (the row-level dead-letter shape; overwrite
+        mode keeps batch replays idempotent), the rest merge normally. A
+        quarantined VERSION never arrived as far as LWW is concerned.
+        One extra O(batch) job either way; zero cost with no constraints."""
+        flags = {
+            name: (F.col("_op") != F.lit("delete"))
+            & (F.expr(sql) == F.lit(False))
+            for name, sql in self.constraints.items()
+        }
+        is_bad = F.lit(False)
+        for flag in flags.values():
+            is_bad = is_bad | F.coalesce(flag, F.lit(False))
+        bad = batch.filter(is_bad).drop(BUCKET_COL)
+        if self.on_violation == "error":
+            sample = bad.limit(3).collect()
+            if sample:
+                shown = [
+                    {k: v for k, v in r.asDict().items() if not k.startswith("_")}
+                    for r in sample
+                ]
+                raise ConstraintViolationError(
+                    f"batch {batch_id!r} violates CHECK constraints "
+                    f"{sorted(self.constraints)}; first rows: {shown}. "
+                    f"Fix the producer and retry, or declare "
+                    f"on_violation='quarantine' to divert bad rows."
+                )
+            return batch, 0
+        from pyspark.sql import Observation
+
+        reasons = F.array_compact(F.array(*[
+            F.when(F.coalesce(flag, F.lit(False)), F.lit(name))
+            for name, flag in flags.items()
+        ]))
+        obs = Observation()
+        qdir = os.path.join(
+            self.path, "_quarantine",
+            "".join(c if c.isalnum() or c in "-_." else "_" for c in batch_id),
+        )
+        (
+            bad.withColumn("_violations", reasons)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite").parquet(qdir)
+        )
+        n = int(obs.get.get("n") or 0)
+        if n == 0:
+            shutil.rmtree(qdir, ignore_errors=True)
+        return batch.filter(~is_bad), n
+
+    def quarantined(self, batch_id: str | None = None) -> DataFrame:
+        """Rows diverted by ``on_violation="quarantine"`` (all batches, or
+        one), each carrying ``_violations`` (failed constraint names) and
+        ``_batch_id`` — the inspection/replay surface of the row-level DLQ."""
+        root = os.path.join(self.path, "_quarantine")
+        paths = (
+            [os.path.join(root, batch_id)] if batch_id is not None
+            else [os.path.join(root, d) for d in sorted(os.listdir(root))]
+            if os.path.isdir(root) else []
+        )
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], T.StructType([]))
+        return self.spark.read.parquet(*paths)
+
     def merge_into(
         self,
         batch_df: DataFrame,
@@ -1411,6 +1517,12 @@ class LakeTable:
             # deletes ignored entirely (reference MergeStrategyConfig
             # allow_delete=False, core/config.py:158-160)
             batch = batch.filter(F.col("_op") != F.lit("delete"))
+        rows_quarantined = 0
+        if self.constraints:
+            batch, rows_quarantined = self._enforce_constraints(batch, batch_id)
+            if rows_quarantined:
+                lineage_extra = {**(lineage_extra or {}),
+                                 "rows_quarantined": rows_quarantined}
 
         # ONE pre-scan of the batch serves both the op-count lineage stats and
         # the dirty-bucket list (delete_insert/CoW need it; MoR upsert and
