@@ -2399,6 +2399,18 @@ class LakeTable:
                         os.unlink(p)  # _SUCCESS / .crc markers
                 if not os.listdir(root):
                     os.rmdir(root)
+        # crashed commits leave .tmp-* staging files in the manifest dir
+        # (the atomic link publish never exposes them as versions); sweep
+        # ones past the same grace window
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for fn in os.listdir(mdir):
+            if fn.startswith(".tmp-"):
+                p = os.path.join(mdir, fn)
+                try:
+                    if now - os.path.getmtime(p) > orphan_grace_seconds:
+                        os.unlink(p)
+                except OSError:
+                    pass
         removed_manifests = 0
         for v in range(1, keep_versions[0]):
             p = self._manifest_path(v)

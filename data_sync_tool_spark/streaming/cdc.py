@@ -17,8 +17,11 @@ module supplies the streaming machinery from Spark per SURVEY §2.8:
   no-op for committed batch ids ⇒ exactly-once sink semantics end-to-end
   (checkpoint gives at-least-once; the idempotence manifest removes the
   duplicate).
-- lineage: each commit records the batch's lsn offset range and op counts in
-  the table manifest; ``CdcMetrics`` aggregates per-batch rows/sec.
+- lineage: each commit records the batch's lsn offset range, op counts, and
+  PER-SOURCE-PARTITION lineage rows (input file → offset range, event count,
+  order-independent checksum — one groupBy-on-input_file_name aggregate, the
+  same single job that previously computed only the global range) in the
+  table manifest; ``CdcMetrics`` aggregates per-batch rows/sec.
 - resume: kill the query at any point; restarting with the same checkpoint
   dir replays from the last un-committed epoch (tested in
   ``tests/test_cdc_stream.py``).
@@ -26,6 +29,7 @@ module supplies the streaming machinery from Spark per SURVEY §2.8:
 
 from __future__ import annotations
 
+import os
 import signal
 import time
 from dataclasses import dataclass, field
@@ -327,19 +331,47 @@ class CdcPipeline:
             batch_df = annotated.filter(F.size("_dlq_reason") == 0).drop("_dlq_reason")
             extra["quarantined"] = quarantined
         if self.track_offsets:
-            # one cheap agg on the (already materialized-in-plan) batch:
-            # offset-range lineage per north star. Skippable for max
-            # throughput via track_offsets=False.
-            rng = batch_df.agg(
-                F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
-            if rng["n"] == 0:
+            # one cheap agg on the (already materialized-in-plan) batch,
+            # grouped by SOURCE PARTITION (input file/split): per-partition
+            # lineage rows — offset range, event count, order-independent
+            # checksum (JVM xxhash64 sum) — per north star, with the global
+            # offset range derived from the same single job. input_file_name
+            # is still live here (no shuffle between the scan and this agg).
+            # Skippable for max throughput via track_offsets=False.
+            from ..functions.hashes import rowhash_xxhash64
+
+            per = (
+                batch_df.groupBy(F.input_file_name().alias("src"))
+                .agg(
+                    F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                    # mask to 32 bits before summing: a raw xxhash64 sum
+                    # overflows long under ANSI after a handful of rows
+                    F.sum(rowhash_xxhash64(*batch_df.columns)
+                          .bitwiseAND(F.lit((1 << 32) - 1))).alias("ck"),
+                )
+                .collect()
+            )
+            input_rows = sum(r["n"] for r in per)
+            if input_rows == 0:
                 if annotated is not None:
                     annotated.unpersist()
                 return  # empty epoch (availableNow tail): nothing to commit
-            extra |= {"offset_min": rng["lo"], "offset_max": rng["hi"]}
-            input_rows = rng["n"]
+            extra |= {
+                "offset_min": min(r["lo"] for r in per),
+                "offset_max": max(r["hi"] for r in per),
+                "partitions": sorted(
+                    (
+                        {
+                            "src": os.path.basename(r["src"]) or r["src"],
+                            "offset_min": r["lo"], "offset_max": r["hi"],
+                            "rows": r["n"], "checksum": int(r["ck"]),
+                        }
+                        for r in per
+                    ),
+                    key=lambda d: str(d["src"]),
+                ),
+            }
         else:
             input_rows = -1
         try:
