@@ -117,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--max-file-rows", type=int, default=None)
     mt.add_argument("--vacuum-keep-last", type=int, default=None)
     mt.add_argument("--vacuum-older-than-hours", type=float, default=None)
+    mt.add_argument("--vacuum-orphan-grace-hours", type=float, default=1.0,
+                    help="age before never-referenced files (possibly a "
+                    "concurrent writer's staged snapshot) are removed")
 
     sub.add_parser(
         "canary", help="fixed-work host-speed probe (numpy bandwidth + "
@@ -218,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.vacuum_keep_last is not None or args.vacuum_older_than_hours is not None:
             out["vacuum"] = table.vacuum(
                 keep_last=args.vacuum_keep_last or 1,
+                orphan_grace_seconds=args.vacuum_orphan_grace_hours * 3600.0,
                 older_than_seconds=(
                     args.vacuum_older_than_hours * 3600.0
                     if args.vacuum_older_than_hours is not None else None

@@ -1381,6 +1381,11 @@ class LakeTable:
     def overwrite(self, df: DataFrame, batch_id: str = "overwrite", lsn: int = 0) -> MergeResult:
         """Full-table replace (initial load). Adds system columns if absent.
 
+        CHECK constraints are a merge-path gate (change batches are where
+        bad data arrives one version at a time); an initial full load is
+        validated by the caller — run ``df.filter(...)`` with the same
+        expressions, or land it through ``merge_into`` to enforce.
+
         Raw sign-carrying data is rejected: unannihilated ``+1/-1`` cancel
         pairs are not LWW-resolvable and would also break the incremental
         live-table checksum (a pair double-counts instead of cancelling in
