@@ -357,11 +357,15 @@ def pq_topk_indexed(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
+    distributed_luts: bool = False,
 ) -> DataFrame:
-    """ADC top-k against a persisted PQ index — reads codes only."""
+    """ADC top-k against a persisted PQ index — reads codes only. Query
+    batch bounds / distributed-LUT path as in :func:`pq_topk`."""
     books = pq_read_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
-    return pq_topk(codes, queries, books, k, id_col, vec_col)
+    return pq_topk(codes, queries, books, k, id_col, vec_col,
+                   max_queries=max_queries, distributed_luts=distributed_luts)
 
 
 # ------------------------------------------------------------------- IVF-PQ
