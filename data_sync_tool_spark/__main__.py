@@ -98,6 +98,22 @@ def main(argv: list[str] | None = None) -> int:
     rv.add_argument("--where", default=None, help="SQL predicate over source rows")
     rv.add_argument("--name", default="aggview")
 
+    sy = sub.add_parser(
+        "sync", help="lake→lake incremental follower catch-up: apply the "
+        "leader's pruned change feed through MERGE, watermark in the "
+        "follower's own manifest (cron-able, exactly-once)")
+    sy.add_argument("--src", required=True, help="leader lake table path")
+    sy.add_argument("--dst", required=True, help="follower lake table path")
+    sy.add_argument("--keys", required=True, help="comma-separated key columns (both tables)")
+    sy.add_argument("--dst-buckets", type=int, default=32,
+                    help="follower bucket count when creating it fresh")
+    sy.add_argument("--where", default=None,
+                    help="SQL predicate: follower becomes a FILTERED replica "
+                    "(out-of-filter versions propagate as deletes)")
+    sy.add_argument("--name", default="sync")
+    sy.add_argument("--max-lsn", type=int, default=None,
+                    help="bounded catch-up: drain only through this source lsn")
+
     ex = sub.add_parser(
         "export", help="publish the resolved live view (or a pinned/as-of "
         "version) as plain parquet for file-reading consumers")
@@ -171,6 +187,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "rolled_back_to": args.version, "new_version": res.version,
             "batch_id": res.batch_id,
+        }))
+        return 0
+
+    if args.cmd == "sync":
+        from pyspark.sql import functions as F
+
+        from .sources.lake import LakeTable
+        from .sources.sync import sync_until_current, sync_watermark
+
+        keys = args.keys.split(",")
+        src_t = LakeTable(spark, args.src, keys)
+        dst_t = LakeTable(spark, args.dst, keys, n_buckets=args.dst_buckets,
+                          merge_mode="mor")
+        steps = sync_until_current(
+            src_t, dst_t, name=args.name,
+            row_filter=F.expr(args.where) if args.where else None,
+            max_lsn=args.max_lsn,
+        )
+        print(json.dumps({
+            "steps": steps,
+            "watermark": sync_watermark(dst_t, args.name),
+            "dst_version": dst_t.current_version(),
         }))
         return 0
 

@@ -287,3 +287,32 @@ def test_cli_refresh_view_subcommand(tmp_path, spark):
                 "--view", view_path, "--name", "stats",
                 "--aggs", "n=count(1); total=sum(v)", "--where", "i >= 3")
     assert not got2["applied"] and got2["watermark"] == 29
+
+def test_cli_sync_subcommand(tmp_path, spark):
+    import pyspark.sql.functions as F
+
+    from data_sync_tool_spark.sources.lake import LakeTable
+
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = LakeTable(spark, src_path, ["k", "i"], n_buckets=2, merge_mode="mor")
+    rows = spark.createDataFrame(
+        [(f"g{i % 3}", i, f"t{i}", i, "upsert") for i in range(30)],
+        "k string, i int, text string, lsn long, op string")
+    src.merge_into(rows, "b0")
+
+    # bounded first catch-up, filtered replica (only group g1)
+    got = _run("sync", "--src", src_path, "--dst", dst_path, "--keys", "k,i",
+               "--dst-buckets", "4", "--where", "k = 'g1'", "--max-lsn", "20")
+    assert got["steps"] == 1 and got["watermark"] == 20
+    dst = LakeTable(spark, dst_path, ["k", "i"], merge_mode="mor")
+    assert {r.i for r in dst.read().collect()} == {
+        i for i in range(21) if i % 3 == 1
+    }
+    # drain the rest; second run is a no-op
+    got2 = _run("sync", "--src", src_path, "--dst", dst_path, "--keys", "k,i",
+                "--where", "k = 'g1'")
+    assert got2["steps"] == 1 and got2["watermark"] == 29
+    got3 = _run("sync", "--src", src_path, "--dst", dst_path, "--keys", "k,i",
+                "--where", "k = 'g1'")
+    assert got3["steps"] == 0 and got3["watermark"] == 29
+    assert dst.read().count() == sum(1 for i in range(30) if i % 3 == 1)
