@@ -3164,11 +3164,56 @@ def _oracle_quarantine() -> str:
     """
 
 
+def q_cdc_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row TTL (ClickHouse TTL analogue): replay the change
+    stream into a lake declaring ``ts < '2024-01-08'`` as expired, then
+    compact — expired versions drop during the fold (the filter rides the
+    rewrite job; rows_expired in lineage). The served state must equal the
+    LWW final state restricted to unexpired rows."""
+    from .sources.lake import LakeTable
+    from .sources.registry import changelog
+
+    ch = changelog(spark, sf_dir)
+    table = LakeTable(
+        spark, _scratch_dir("ttl_"), ["conv_id", "turn_idx"], n_buckets=8,
+        merge_mode="mor", ttl="ts < timestamp'2024-01-08'",
+    )
+    n = ch.agg(F.max("lsn")).first()[0] + 1
+    step = max(1, n // 2)
+    for i, lo in enumerate(range(0, n, step)):
+        batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
+        table.merge_into(batch, batch_id=f"ttl-b{i}")
+    table.compact()
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _oracle_ttl() -> str:
+    from .sources.registry import CHANGELOG_SELECT_SQL
+
+    return f"""
+        WITH changes AS ({CHANGELOG_SELECT_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM changes
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND NOT COALESCE(ts < TIMESTAMP '2024-01-08', FALSE)
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """name → (spark_fn, oracle_sql | None)."""
     return {
         "cdc_quarantine_final_state": (q_cdc_quarantine_final_state,
                                        _oracle_quarantine()),
+        "cdc_ttl_retention": (q_cdc_ttl_retention, _oracle_ttl()),
         "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_AGG_PRICING),
         "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE_STATS),
         "pivot_returnflag": (q_pivot_returnflag, ORACLE_PIVOT),

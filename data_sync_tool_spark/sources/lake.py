@@ -179,6 +179,7 @@ class LakeTable:
         stats_columns: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         on_violation: str = "error",
+        ttl: str | None = None,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
@@ -227,6 +228,15 @@ class LakeTable:
         # (the violation probe / quarantine write); zero when unset.
         self.constraints = dict(constraints or {})
         self.on_violation = on_violation
+        # declarative row TTL (ClickHouse TTL analogue): SQL boolean over
+        # data columns; TRUE = expired. Enforced at compact() — expired
+        # versions are dropped during the fold (zero extra jobs: the filter
+        # rides the rewrite) and rows_expired lands in lineage. Reads may
+        # serve expired rows until the next compact, exactly like ClickHouse
+        # SELECTs before a background merge. Same retention caveat as
+        # expire_tombstones: only expire past the source's replay horizon,
+        # or a late-arriving OLDER version of an expired key resurrects.
+        self.ttl = ttl
         m = self._load_manifest()
         if m is not None and m.get("n_buckets"):
             self.n_buckets = int(m["n_buckets"])
@@ -239,6 +249,8 @@ class LakeTable:
             # every writer handle enforces them, not just the declaring one
             self.constraints = dict(m.get("constraints", {}))
             self.on_violation = m.get("on_violation", self.on_violation)
+        if m is not None and self.ttl is None:
+            self.ttl = m.get("ttl")
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, version: int) -> str:
@@ -1364,6 +1376,7 @@ class LakeTable:
             "stats_columns": self.stats_columns,
             "constraints": self.constraints,
             "on_violation": self.on_violation,
+            "ttl": self.ttl,
             "committed_batch_ids": recent[-self.idempotence_window:],
             "file_stats": file_stats,
             "watermarks": watermarks,
@@ -1965,6 +1978,17 @@ class LakeTable:
         resolved = self._resolve_lww(df)
         if SIGN_COL in df.columns:
             resolved = resolved.withColumn(SIGN_COL, F.lit(1))
+        ttl_obs = None
+        if self.ttl:
+            # row TTL enforcement point (see __init__): the expired-count
+            # observe and the drop filter both ride the rewrite job
+            from pyspark.sql import Observation
+
+            expired = F.coalesce(F.expr(self.ttl), F.lit(False))
+            ttl_obs = Observation()
+            resolved = resolved.observe(
+                ttl_obs, F.sum(expired.cast("long")).alias("n_expired")
+            ).filter(~expired)
         resolved = resolved.withColumn(BUCKET_COL, self._bucket_col())
         sort_cols = None
         if zorder_by:
@@ -2010,6 +2034,8 @@ class LakeTable:
         rows = self._count_rows(new_files)
         lineage = {"batch_id": bid, "op": "compact", "rows_written": rows,
                    "compacted_buckets": sorted(dirty)}
+        if ttl_obs is not None:
+            lineage["rows_expired"] = int(ttl_obs.get.get("n_expired") or 0)
         # optimistic rebase: compact is the maintenance op that runs beside
         # live ingest ("a background job that never blocks ingest"). If a
         # merge committed while we rewrote, the folded state is still valid

@@ -125,3 +125,32 @@ def test_streaming_pipeline_quarantines_through_foreachbatch(spark, tmp_path):
     ).count()
     assert table.quarantined().count() == n_bad > 0
     ch.unpersist()
+
+def test_row_ttl_enforced_at_compact(spark, tmp_path):
+    """Declarative row TTL (ClickHouse analogue): expired versions drop
+    during the compact fold; reads may serve them until then; the expired
+    count lands in lineage; the property persists in the manifest; the
+    incremental checksum stays audit-exact across the drop."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor",
+                  ttl="turn_idx < 2")
+    t.merge_into(_mk(spark, [("a", 0, "old0", 1, "upsert"),
+                             ("a", 1, "old1", 2, "upsert"),
+                             ("a", 5, "keep", 3, "upsert"),
+                             ("b", 7, "keep2", 4, "upsert")]), "b0")
+    # before compact: expired rows still served (ClickHouse pre-merge reads)
+    assert t.read().count() == 4
+    r = t.compact()
+    assert r.applied
+    assert t.lineage()[-1]["rows_expired"] == 2
+    got = {(x.conv_id, x.turn_idx, x.text) for x in t.read().collect()}
+    assert got == {("a", 5, "keep"), ("b", 7, "keep2")}
+    # incremental digest followed the drop exactly
+    assert t.lineage()[-1]["table_checksum"] == t.audit_checksum()
+    # TTL is a table property: a fresh handle enforces it on its compacts
+    other = LakeTable(spark, path, KEYS, n_buckets=2, merge_mode="mor")
+    assert other.ttl == "turn_idx < 2"
+    other.merge_into(_mk(spark, [("c", 0, "young-expired", 5, "upsert")]), "b1")
+    other.compact()
+    assert {x.conv_id for x in other.read().collect()} == {"a", "b"}
+    assert other.lineage()[-1]["rows_expired"] == 1
