@@ -618,6 +618,7 @@ class LakeTable:
         ranges: dict[str, list[tuple[Any, Any]]] | None = None,
         as_of: Any | None = None,
         key_ranges_col: str | None = None,
+        apply_ttl: bool = False,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
@@ -784,6 +785,11 @@ class LakeTable:
             df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+        if apply_ttl and self.ttl and df.columns:
+            # strict-retention read: hide expired-but-not-yet-compacted rows
+            # (compact is where they physically drop); post-resolve filter,
+            # same hazard-free position as ranges
+            df = df.filter(~F.coalesce(F.expr(self.ttl), F.lit(False)))
         if ranges and df.columns:
             # row-level restriction AFTER the resolve (a pre-resolve filter
             # could drop a key's latest out-of-range version and serve a

@@ -154,3 +154,12 @@ def test_row_ttl_enforced_at_compact(spark, tmp_path):
     other.compact()
     assert {x.conv_id for x in other.read().collect()} == {"a", "b"}
     assert other.lineage()[-1]["rows_expired"] == 1
+
+def test_read_apply_ttl_hides_expired_rows_before_compact(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), KEYS, n_buckets=2,
+                  merge_mode="mor", ttl="turn_idx < 2")
+    t.merge_into(_mk(spark, [("a", 0, "expired", 1, "upsert"),
+                             ("a", 5, "keep", 2, "upsert")]), "b0")
+    assert t.read().count() == 2            # lazy enforcement (default)
+    strict = t.read(apply_ttl=True)         # strict-retention read
+    assert [(r.conv_id, r.turn_idx) for r in strict.collect()] == [("a", 5)]
