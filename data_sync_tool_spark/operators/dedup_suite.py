@@ -389,28 +389,58 @@ def ngram_jaccard_pairs(
         raise ValueError("threshold must be in (0, 1]")
     import math
 
+    import numpy as np
+    import pandas as pd
+
     w = max(math.log(1.0 / threshold), 1e-9)  # t→1 degrades to size-equality bands
     ex = exploded_shingles(df, text_col, id_col, shingle_k)
     base = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
     sized = base.select("id", "sh", F.size("sh").alias("n"))
     band = F.floor(F.log(F.col("n").cast("double")) / F.lit(w))
-    # bare (id, n) through the block join; shingle arrays re-attached after
-    # pair dedup (same slimming as minhash_lsh_pairs)
     blocked = sized.select(
-        "id", "n", F.explode(F.array(band, band + 1)).alias("blk")
+        "id", "sh", "n", F.explode(F.array(band, band + 1)).alias("blk")
     )
-    l = blocked.select(F.col("id").alias("a"), F.col("n").alias("na"), "blk")
-    r = blocked.select(F.col("id").alias("b"), F.col("n").alias("nb"), "blk")
-    cands = (
-        l.join(r, "blk").filter(F.col("a") < F.col("b"))
-        .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
-        .select("a", "b").dropDuplicates(["a", "b"])
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # One numpy kernel per block replaces the former (id, n) block self-join
+    # + TWO shingle-array re-attach joins + per-pair JVM array_intersect: the
+    # qualifying pair count is quadratic in block size, so attaching a ~3 KB
+    # hash array to each side of every candidate row shuffled ~100× the bytes
+    # of shipping each doc's array once per block (guide §2.3/§8 — decide on
+    # proxies, move heavy bytes once). Same candidate universe (within-block
+    # pairs passing the size-ratio prefilter), same exact jaccard arithmetic
+    # (integer intersection/union, double divide, round-6).
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        ns = pdf["n"].to_numpy()
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": np.array([], dtype=ids.dtype),
+                                 "b": np.array([], dtype=ids.dtype),
+                                 "jaccard": np.array([], dtype=np.float64)})
+        arrs = [np.sort(np.asarray(a, dtype=np.int64)) for a in pdf["sh"]]
+        out_a, out_b, out_j = [], [], []
+        step = max(1, 8_000_000 // m)  # bound the chunked candidate mask
+        for i0 in range(0, m, step):
+            blk = slice(i0, min(i0 + step, m))
+            lo = np.minimum(ns[blk, None], ns[None, :]).astype(np.float64)
+            hi = np.maximum(ns[blk, None], ns[None, :]).astype(np.float64)
+            cand = (ids[blk, None] < ids[None, :]) & (lo >= threshold * hi)
+            ii, jj = np.nonzero(cand)
+            for i, j in zip((ii + i0).tolist(), jj.tolist()):
+                inter = np.intersect1d(arrs[i], arrs[j], assume_unique=True).size
+                union = int(ns[i]) + int(ns[j]) - inter
+                jac = round(inter / union, 6) if union > 0 else 0.0
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        return pd.DataFrame({"a": np.asarray(out_a, dtype=ids.dtype),
+                             "b": np.asarray(out_b, dtype=ids.dtype),
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    pairs = blocked.groupBy("blk").applyInPandas(
+        kernel, f"a {id_type}, b {id_type}, jaccard double"
     )
-    sets = sized.select("id", "sh")
-    pairs = (
-        cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
-    )
-    return pairs.withColumn("jaccard", F.round(_jaccard("sh_a", "sh_b"), 6)).filter(
-        F.col("jaccard") >= threshold
-    ).select("a", "b", "jaccard")
+    # a pair sharing both its blocks scores identically in each — dedup last
+    return pairs.dropDuplicates(["a", "b"])

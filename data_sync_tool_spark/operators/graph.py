@@ -76,9 +76,20 @@ def connected_components(
 
     e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # materialize the symmetric edge set ONCE: every round joins it, and the
-    # upstream edge plan (e.g. a full minhash pipeline) must not re-execute
+    # upstream edge plan (e.g. a full minhash pipeline) must not re-execute.
+    # Symmetrize with a single explode — a self-union would execute the
+    # upstream pair pipeline TWICE in the snapshot job (union branches share
+    # no subtree reuse), doubling the cost of every caller's pair stage.
     sym = _snap(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_s")
+        )
+        .select("_s.u", "_s.v")
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"]),
         "sym",

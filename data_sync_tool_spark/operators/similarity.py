@@ -392,6 +392,72 @@ def ivf_topk_indexed(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _pairs_within_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All within-group vector pairs ``(a, b, cos)`` with ``a < b`` and
+    ``round(cos, 6) >= threshold`` — ONE numpy gram matrix per group instead
+    of an id self-join plus two vector re-attach joins plus a per-pair JVM
+    higher-order-function cosine (guide §4.2: hand whole batches to
+    vectorized native code). For a group of m vectors the old shape paid
+    ~m²/2 join rows each allocating a zip_with array; this pays one chunked
+    ``blk @ m.T`` BLAS call.
+
+    Arithmetic parity with the JVM path: float32 values widen to float64
+    exactly on both sides; the dot-sum order differs only in the last ulp,
+    which ``round(·, 6)`` absorbs (a computed double can never sit exactly
+    on a 1e-6 midpoint, so HALF_UP vs numpy HALF_EVEN cannot disagree);
+    ``d > 0 ? dot/d : 0.0`` is mirrored verbatim.
+
+    Memory: the whole group is materialized per task (m × dim float64), so
+    group sizes must be bounded by construction — true for SemDeDup clusters
+    (n_clusters scales with corpus) and SRP buckets (2^n_bits scales)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + [f"a {id_type}", f"b {id_type}", "cos double"]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        empty = {c: np.array([], dtype=np.int64) for c in group_cols}
+        empty.update({"a": np.array([], dtype=ids.dtype),
+                      "b": np.array([], dtype=ids.dtype),
+                      "cos": np.array([], dtype=np.float64)})
+        if n < 2:
+            return pd.DataFrame(empty)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                       dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        step = max(1, 8_000_000 // n)  # ≤ ~64 MB of float64 dots per chunk
+        frames = []
+        for i0 in range(0, n, step):
+            blk = slice(i0, min(i0 + step, n))
+            dots = m[blk] @ m.T
+            d = norms[blk, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(d > 0, dots / d, 0.0)
+            cosr = np.round(cos, 6)
+            mask = (cosr >= threshold) & (ids[blk, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            if len(r):
+                frames.append(pd.DataFrame({
+                    "a": ids[blk][r], "b": ids[c], "cos": cosr[r, c]}))
+        if not frames:
+            return pd.DataFrame(empty)
+        out = pd.concat(frames, ignore_index=True)
+        for col, val in zip(group_cols, key):
+            out[col] = val
+        return out[group_cols + ["a", "b", "cos"]]
+
+    return df.groupBy(*group_cols).applyInPandas(kernel, out_schema)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -406,9 +472,12 @@ def embedding_near_dup_pairs(
     cosine verify at ``threshold``. The embedding-cosine member of the dedup
     suite.
 
-    Scale shape: bare (id, tbl, bucket) through the ×n_tables explode and
-    both sides of the bucket self-join; vectors re-attached once per side
-    after candidate-pair dedup (mirrors ``minhash_lsh_pairs`` / ``lsh_topk``).
+    Scale shape: vectors ride the ×n_tables explode into one shuffle keyed
+    by (tbl, bucket) and every bucket's pairs are scored by ONE numpy gram
+    matrix (``_pairs_within_groups``); pair dedup across tables then carries
+    only (a, b, cos). In the near-dup regime pairs-per-bucket ≫ rows-per-
+    bucket, so shipping each vector n_tables× once is far cheaper than the
+    former per-pair vector re-attach joins + per-pair JVM HOF cosine.
     Pass ``dim`` to skip the one-row probe job that otherwise infers it."""
     if dim is None and n_bits > 0:
         dim = len(df.select(vec_col).first()[0])
@@ -416,7 +485,7 @@ def embedding_near_dup_pairs(
 
     base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucketed = base.select(
-        "id",
+        "id", "v",
         F.posexplode(
             F.array(*[
                 _srp_bits(df.sparkSession, "v", n_bits, dim, seed + t)
@@ -424,23 +493,11 @@ def embedding_near_dup_pairs(
             ])
         ).alias("tbl", "bucket"),
     )
-    l = bucketed.select(F.col("id").alias("a"), "tbl", "bucket")
-    r = bucketed.select(F.col("id").alias("b"), "tbl", "bucket")
-    cands = (
-        l.join(r, ["tbl", "bucket"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b").dropDuplicates(["a", "b"])
-    )
-    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
-                     norm(F.col("v")).alias("na"))
-    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
-                     norm(F.col("v")).alias("nb"))
-    return (
-        cands.join(va, "a").join(vb, "b")
-        .withColumn("cos", F.round(cosine_prenormed(F.col("va"), F.col("vb"),
-                                                    F.col("na"), F.col("nb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
-    )
+    scored = _pairs_within_groups(bucketed, ["tbl", "bucket"], threshold)
+    # a pair sharing several buckets scores identically in each (same kernel,
+    # same inputs) — dedup AFTER scoring is equivalent to the old
+    # dedup-then-score order
+    return scored.select("a", "b", "cos").dropDuplicates(["a", "b"])
 
 
 def group_centroids(
@@ -519,23 +576,12 @@ def semantic_dedup_pairs(
     base = assigned.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     )
-    slim = base.select("id", "list_id")
-    cands = (
-        slim.select(F.col("id").alias("a"), "list_id")
-        .join(slim.select(F.col("id").alias("b"), "list_id"), "list_id")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
-    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
-                     norm(F.col("v")).alias("na"))
-    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
-                     norm(F.col("v")).alias("nb"))
-    pairs = (
-        cands.join(va, "a").join(vb, "b")
-        .withColumn("cos", F.round(cosine_prenormed(F.col("va"), F.col("vb"),
-                                                    F.col("na"), F.col("nb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
+    # one numpy gram matrix per cluster (``_pairs_within_groups``) replaces
+    # the former (id, list_id) self-join + two vector re-attach joins + per-
+    # pair JVM HOF cosine: Σ|cluster|² pair rows never materialize in a
+    # shuffle, and the quadratic arithmetic runs as chunked BLAS
+    pairs = _pairs_within_groups(base, ["list_id"], threshold).select(
+        "a", "b", "cos"
     )
     if _with_assignment:
         return pairs, assigned, centroids
@@ -570,12 +616,20 @@ def semantic_dedupe(
     computed just for pair participants (semi-join before the broadcast
     centroid join); the corpus is anti-joined against losers and never
     reshuffled (``near_dedupe``)."""
+    import tempfile
+
     from .graph import near_dedupe
 
     pairs, assigned, centroids = semantic_dedup_pairs(
         df, threshold, n_clusters, id_col, vec_col, n_iters,
         sample_per_centroid, _with_assignment=True,
     )
+    # materialize the pair plan ONCE: it is consumed up to three times below
+    # (the components' edge snapshot + both participant projections), and
+    # each execution would re-run the assignment UDF + gram kernel
+    root = checkpoint_dir or tempfile.mkdtemp(prefix="dst_semdd_")
+    pairs.write.mode("overwrite").parquet(f"{root}/pairs")
+    pairs = df.sparkSession.read.parquet(f"{root}/pairs")
     if keep == "min_id":
         return near_dedupe(df, pairs, id_col=id_col,
                            checkpoint_dir=checkpoint_dir)

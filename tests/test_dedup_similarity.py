@@ -289,27 +289,42 @@ def test_similarity_bucket_joins_do_not_carry_vectors(spark, emb):
         lsh_topk,
     )
 
-    for plan_df in (
-        lsh_topk(emb, emb.limit(3), k=3, n_bits=3, n_tables=2),
-        embedding_near_dup_pairs(emb, threshold=0.5),
-    ):
-        opt = plan_df._jdf.queryExecution().optimizedPlan()
-        stack, bucket_joins = [opt], []
-        while stack:
-            node = stack.pop()
-            if node.nodeName() == "Join" and "bucket" in node.condition().toString():
-                bucket_joins.append(node)
-            for i in range(node.children().length()):
-                stack.append(node.children().apply(i))
-        assert bucket_joins, "no bucket join found in the optimized plan"
-        for j in bucket_joins:
-            for i in range(2):
-                out = j.children().apply(i).output()
-                vec_cols = [
-                    out.apply(k).name() for k in range(out.length())
-                    if "ArrayType" in out.apply(k).dataType().toString()
-                ]
-                assert not vec_cols, f"vectors ride the bucket join: {vec_cols}"
+    plan_df = lsh_topk(emb, emb.limit(3), k=3, n_bits=3, n_tables=2)
+    opt = plan_df._jdf.queryExecution().optimizedPlan()
+    stack, bucket_joins = [opt], []
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Join" and "bucket" in node.condition().toString():
+            bucket_joins.append(node)
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    assert bucket_joins, "no bucket join found in the optimized plan"
+    for j in bucket_joins:
+        for i in range(2):
+            out = j.children().apply(i).output()
+            vec_cols = [
+                out.apply(k).name() for k in range(out.length())
+                if "ArrayType" in out.apply(k).dataType().toString()
+            ]
+            assert not vec_cols, f"vectors ride the bucket join: {vec_cols}"
+
+
+def test_near_dup_pairs_use_grouped_numpy_kernel_not_pair_join(spark, emb):
+    """``embedding_near_dup_pairs`` scores each SRP bucket with one numpy
+    gram matrix (FlatMapGroupsInPandas keyed on tbl/bucket) — the optimized
+    plan must contain NO join at all: the former per-pair vector re-attach
+    joins were the quadratic-shuffle shape this replaced."""
+    from data_sync_tool_spark.operators.similarity import embedding_near_dup_pairs
+
+    opt = embedding_near_dup_pairs(emb, threshold=0.5)._jdf.queryExecution().optimizedPlan()
+    stack, names = [opt], set()
+    while stack:
+        node = stack.pop()
+        names.add(node.nodeName())
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    assert "Join" not in names, "pair-scoring join reappeared"
+    assert "FlatMapGroupsInPandas" in names, "grouped numpy kernel missing"
 
 
 def test_ivf_indexed_equals_direct_and_prunes_partitions(spark, emb, tmp_path):
