@@ -86,9 +86,11 @@ def pack_sequences(
 
     from .decontam import _tokens
 
+    from .dedup_suite import _ensure_parallelism
+
     spark = df.sparkSession
     n_parts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    staged = df.select(
+    staged = _ensure_parallelism(df).select(
         F.col(id_col), F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens")
     )
     ranged = staged.repartitionByRange(n_parts, F.col(id_col)).withColumn(
@@ -145,11 +147,15 @@ def packed_sequence_text(
     """
     from .decontam import _tokens
 
+    from .dedup_suite import _ensure_parallelism
+
     layout = pack_sequences(df, budget, text_col, id_col, n_partitions).select(
         id_col, "tok_start"
     )
-    toks = df.select(F.col(id_col), F.posexplode(_tokens(F.col(text_col)))).select(
-        id_col, F.col("pos"), F.col("col").alias("token")
+    toks = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.posexplode(_tokens(F.col(text_col))))
+        .select(id_col, F.col("pos"), F.col("col").alias("token"))
     )
     placed = toks.join(layout, id_col).select(
         (F.col("tok_start") + F.col("pos")).alias("gpos"), "token"

@@ -39,10 +39,14 @@ from pyspark.sql import functions as F
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # same normalization contract as corpus.tokenize (dual-expressible in
-    # DuckDB for the oracle queries)
+    # DuckDB for the oracle queries); fanned out so the regex+explode never
+    # runs on a 1-2-split small-file read
+    from .dedup_suite import _ensure_parallelism
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^0-9a-z]", " ")
     return (
-        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("token"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.split(norm, " ")).alias("token"))
         .filter(F.col("token") != "")
     )
 
@@ -144,23 +148,58 @@ def _p_udf(weights_bc, out: str = "residual"):
     return prob
 
 
-def _make_grad_part(weights_bc, n_weights: int):
+# Worker-side flattened-feature cache (guide §4.5): the GD loop runs
+# n_iters jobs over the SAME persisted feature table, and with
+# spark.python.worker.reuse (default on) the same worker processes see the
+# same partitions again — caching the flattened numpy arrays per (training
+# run, partition) makes every iteration after the first skip the
+# Arrow→pandas→numpy conversion entirely. Keyed by a per-run token so a new
+# training run invalidates the previous one; capped so a worker that sees
+# many partitions of a huge table degrades to streaming, never OOM.
+_GRAD_CACHE: dict = {"token": None, "parts": {}}
+_GRAD_CACHE_MAX_PARTS = 64
+
+
+def _make_grad_part(weights_bc, n_weights: int, cache_token: str | None = None):
     """Per-partition DENSE gradient partial (MLlib treeAggregate shape):
     residuals and the full bincount-accumulated gradient in one numpy pass;
     each partition emits exactly one length-``n_weights`` array row."""
 
     def part(batches):
         w = weights_bc.value
+        pid = None
+        if cache_token is not None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else None
+            if _GRAD_CACHE["token"] != cache_token:
+                _GRAD_CACHE["token"] = cache_token
+                _GRAD_CACHE["parts"] = {}
+        chunks = _GRAD_CACHE["parts"].get(pid) if pid is not None else None
+        if chunks is None:
+            chunks = []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lens, fi, fv = _flatten(pdf["idx"], pdf["val"])
+                chunks.append((lens, fi, fv, pdf["_y"].to_numpy(dtype=np.float64)))
+            if (
+                pid is not None
+                and len(_GRAD_CACHE["parts"]) < _GRAD_CACHE_MAX_PARTS
+            ):
+                _GRAD_CACHE["parts"][pid] = chunks
         g = np.zeros(n_weights, dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            lens, fi, fv = _flatten(pdf["idx"], pdf["val"])
+        for lens, fi, fv, y in chunks:
             m = _margins_np(w, lens, fi, fv)
-            r = 1.0 / (1.0 + np.exp(-m)) - pdf["_y"].to_numpy(dtype=np.float64)
+            r = 1.0 / (1.0 + np.exp(-m)) - y
             if len(fi):
                 g += np.bincount(fi, weights=fv * np.repeat(r, lens), minlength=n_weights)
-        yield pd.DataFrame({"g": [g.tolist()]})
+        # ship the partial as raw float64 bytes: an array<double> row would
+        # cross Arrow as n_weights boxed Python floats per partition per
+        # iteration (measured: the dominant per-iteration cost at 2^15
+        # features), a binary cell crosses as one buffer
+        yield pd.DataFrame({"g": [g.tobytes()]})
 
     return part
 
@@ -197,27 +236,37 @@ def train_logreg(
         n = feats.count()
         if n == 0:
             raise ValueError("cannot train on an empty feature table")
-        # the iteration loop launches n_iters small jobs over this table; at
-        # modest n the fixed per-task cost (scheduling + Arrow worker round
-        # trip) dominates each step, so pack the cache into ~50k-row
-        # partitions. Big corpora keep their full parallelism untouched.
-        nparts = max(1, min(feats.rdd.getNumPartitions(), (n + 49_999) // 50_000))
-        if nparts < feats.rdd.getNumPartitions():
-            packed = feats.repartition(nparts)
+        # the iteration loop launches n_iters small jobs over this table.
+        # Partitioning targets BOTH regimes: small tables spread across the
+        # cores (≥2k rows per task so fixed task cost amortizes — a 50k-row
+        # table must not train single-threaded), big tables pack toward
+        # 50k-row partitions; inputs already ≥ the session parallelism keep
+        # their layout untouched.
+        dp = spark.sparkContext.defaultParallelism
+        orig = feats.rdd.getNumPartitions()
+        desired = max(
+            1, min((n + 1_999) // 2_000, max(dp, (n + 49_999) // 50_000))
+        )
+        if orig > desired or orig < min(dp, desired):
+            packed = feats.repartition(desired)
             packed.persist().count()
             feats.unpersist()
             feats = packed
         w = np.zeros(n_features + 1, dtype=np.float64)
         dense = n_features + 1 <= dense_threshold
+        import uuid
+
+        run_token = uuid.uuid4().hex
         for _ in range(n_iters):
             bc = spark.sparkContext.broadcast(w)
             if dense:
                 parts = feats.mapInPandas(
-                    _make_grad_part(bc, n_features + 1), "g array<double>"
+                    _make_grad_part(bc, n_features + 1, run_token), "g binary"
                 ).toPandas()
                 g = (
                     np.sum(
-                        np.asarray([p for p in parts["g"].to_numpy()]), axis=0
+                        [np.frombuffer(p, dtype=np.float64) for p in parts["g"]],
+                        axis=0,
                     )
                     if len(parts)
                     else np.zeros_like(w)

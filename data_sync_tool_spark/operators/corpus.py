@@ -43,9 +43,15 @@ def tokenize(
     scheme expressible identically in Spark and DuckDB
     (``regexp_replace(lower(text), '[^0-9a-z]', ' ', 'g')`` + string_split).
     """
+    from .dedup_suite import _ensure_parallelism
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^0-9a-z]", " ")
+    # fan small inputs out to the session parallelism BEFORE the per-row
+    # regex+explode (a 1-2-split parquet read otherwise runs the whole
+    # tokenize pass on 1-2 cores); no-op on well-split inputs
     return (
-        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("token"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.split(norm, " ")).alias("token"))
         .filter(F.col("token") != "")
     )
 
@@ -238,6 +244,7 @@ def repetition_stats(
     happens on a pre-projected token array (see decontam._gram_windows).
     """
     from .decontam import _gram_windows, _tokens
+    from .dedup_suite import _ensure_parallelism
 
     tok_stats = (
         tokenize(df, text_col, id_col)
@@ -247,7 +254,9 @@ def repetition_stats(
             F.count_distinct("token").alias("n_distinct"),
         )
     )
-    staged = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    staged = _ensure_parallelism(df).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
     bigrams = staged.select(
         id_col, F.explode(_gram_windows(F.col("_toks"), 2, distinct=False)).alias("gram")
     )

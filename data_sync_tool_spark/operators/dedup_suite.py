@@ -427,14 +427,23 @@ def ngram_jaccard_pairs(
             hi = np.maximum(ns[blk, None], ns[None, :]).astype(np.float64)
             cand = (ids[blk, None] < ids[None, :]) & (lo >= threshold * hi)
             ii, jj = np.nonzero(cand)
+            from ..functions.numeric import round6_half_up
+
+            raw = []
+            pij = []
             for i, j in zip((ii + i0).tolist(), jj.tolist()):
                 inter = np.intersect1d(arrs[i], arrs[j], assume_unique=True).size
                 union = int(ns[i]) + int(ns[j]) - inter
-                jac = round(inter / union, 6) if union > 0 else 0.0
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
+                raw.append(inter / union if union > 0 else 0.0)
+                pij.append((i, j))
+            if raw:
+                jr = round6_half_up(np.asarray(raw))
+                keep = jr >= threshold
+                for t, (i, j) in enumerate(pij):
+                    if keep[t]:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(jr[t])
         return pd.DataFrame({"a": np.asarray(out_a, dtype=ids.dtype),
                              "b": np.asarray(out_b, dtype=ids.dtype),
                              "jaccard": np.asarray(out_j, dtype=np.float64)})

@@ -436,13 +436,15 @@ def _pairs_within_groups(
         norms = np.sqrt((m * m).sum(axis=1))
         step = max(1, 8_000_000 // n)  # ≤ ~64 MB of float64 dots per chunk
         frames = []
+        from ..functions.numeric import round6_half_up
+
         for i0 in range(0, n, step):
             blk = slice(i0, min(i0 + step, n))
             dots = m[blk] @ m.T
             d = norms[blk, None] * norms[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(d > 0, dots / d, 0.0)
-            cosr = np.round(cos, 6)
+            cosr = round6_half_up(cos.ravel()).reshape(cos.shape)
             mask = (cosr >= threshold) & (ids[blk, None] < ids[None, :])
             r, c = np.nonzero(mask)
             if len(r):

@@ -303,7 +303,36 @@ def build_dataframe(
                 grouped = df.groupBy(*gcols)
             else:
                 raise ValueError(f"unknown grouping mode: {query.grouping}")
-        df = grouped.agg(*[_field_column(f) for f in agg_fields])
+        # Mixing DISTINCT aggregates with holistic ones (percentile/median,
+        # whose buffers hold every group value) makes Spark plan an Expand
+        # that doubles the rows feeding the holistic buffers — measured 2×
+        # the aggregation stage. Split: plain aggregates in one groupBy,
+        # distinct aggregates in a second, joined null-safely on the group
+        # keys (same key set on both sides by construction).
+        _split = None
+        if query.grouping == "groups":
+            dist = [f for f in agg_fields if "distinct" in f.expr.lower()]
+            holo = [
+                f for f in agg_fields
+                if "percentile" in f.expr.lower() or "median(" in f.expr.lower()
+            ]
+            if dist and holo and len(dist) < len(agg_fields):
+                _split = (dist, [f for f in agg_fields if f not in dist])
+        if _split is not None:
+            dist, rest = _split
+            g1 = grouped.agg(*[_field_column(f) for f in rest])
+            d_alias = {g: f"{a}__d" for g, (_, a) in zip(
+                gb_alias, gb_alias.items())}
+            g2 = df.groupBy(
+                *[F.expr(g).alias(d_alias[g]) for g in gb_alias]
+            ).agg(*[_field_column(f) for f in dist])
+            cond = None
+            for g, a in gb_alias.items():
+                c = g1[a].eqNullSafe(g2[d_alias[g]])
+                cond = c if cond is None else (cond & c)
+            df = g1.join(g2, cond).drop(*d_alias.values())
+        else:
+            df = grouped.agg(*[_field_column(f) for f in agg_fields])
         # re-project to requested select order/aliases (grouping expressions
         # are referenced via their grouping alias — the base columns are gone)
         out_cols = []

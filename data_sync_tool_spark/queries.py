@@ -52,6 +52,16 @@ def _tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, Dat
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out before per-row-heavy projections: a small sf's
+    table arrives as 1-4 parquet splits, which would serialize the regex/
+    hash/scoring map work regardless of core count; a production input with
+    ≥ parallelism splits passes through untouched."""
+    from .operators.dedup_suite import _ensure_parallelism
+
+    return _ensure_parallelism(df)
+
+
 # --------------------------------------------------------------------------
 # Run-scoped scratch + shared fixtures for the lake-family catalog queries.
 #
@@ -539,8 +549,8 @@ ORACLE_RUNNING_TOTAL = """
 
 # §2.6 scalar functions — md5/substr/floor/epoch/lpad/concat/date_format
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return ev.select(
+    ev = _fan(read_table(spark, sf_dir, "events"))
+    return _sorted(ev.select(
         "event_id",
         F.md5(F.col("event_type")).alias("type_md5"),
         F.substring(F.col("event_type"), 1, 2).alias("type_pfx"),
@@ -549,7 +559,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("event_id").cast("string"), 10, "0").alias("id_pad"),
         F.concat_ws("-", F.col("event_type"), F.col("event_id").cast("string")).alias("tag"),
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
-    ).orderBy("event_id")
+    ), "event_id")
 
 
 ORACLE_SCALARS = """
@@ -698,15 +708,15 @@ ORACLE_RECON_STATUS = f"""
 # ---------------------------------------------------------------------------
 # text analysis over documents
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = _fan(read_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    return d.select(
+    return _sorted(d.select(
         "doc_id",
         TX.token_count(t).alias("tok_cnt"),
         TX.word_chars(t).alias("alnum_chars"),
         TX.fingerprint(t).alias("fp"),
         F.round(TX.quality_score(t), 6).alias("quality"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 ORACLE_DOC_STATS = r"""
@@ -727,11 +737,11 @@ ORACLE_DOC_STATS = r"""
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return (
+    d = _fan(read_table(spark, sf_dir, "documents"))
+    return _sorted(
         d.select("doc_id", TX.padded_lower(F.col("text")).alias("_p"))
-        .select("doc_id", TX.lang_id(F.col("_p"), prepadded=True).alias("lang_guess"))
-        .orderBy("doc_id")
+        .select("doc_id", TX.lang_id(F.col("_p"), prepadded=True).alias("lang_guess")),
+        "doc_id",
     )
 
 
@@ -829,12 +839,12 @@ ORACLE_ENRICH_SERVICE = """
 # nested path extraction at the message edge (engine/transform.py:15 glom /
 # otel.py:95 — JSON payload access)
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return ev.select(
+    ev = _fan(read_table(spark, sf_dir, "events"))
+    return _sorted(ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("long").alias("k_int"),
-    ).orderBy("event_id")
+    ), "event_id")
 
 
 ORACLE_JSON = """
@@ -919,27 +929,80 @@ def _oracle_transcript_dedup() -> str:
 
 def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic corpus-cleaning composite: language filter + quality floor
-    + exact-dedup (keep canonical) in one pipeline."""
+    + exact-dedup (keep canonical) in one pipeline.
+
+    The lang/quality scores are computed in ONE Arrow-batched ``mapInPandas``
+    kernel rather than the JVM expression tree: a filter over columns
+    computed by an expensive projection gets pushed below it by Catalyst,
+    re-embedding the whole 20-marker scoring tree in the predicate (measured
+    124 ``replace()`` nodes in the physical plan, 2.3× the stage) — the
+    opaque kernel is evaluated exactly once, and C-level string counting
+    beats 40 JVM string passes per row (guide §4.1/§4.4). Arithmetic is
+    bit-identical to the expression form: non-overlapping left-to-right
+    substring counts, single IEEE divides/multiplies, round-6 (no computed
+    double can sit exactly on a 1e-6 midpoint)."""
     from .operators.dedup_suite import exact_dedupe
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _fan(read_table(spark, sf_dir, "documents"))
     kept = exact_dedupe(docs)
-    t = F.col("text")
+    scored = kept.select("doc_id", "text").mapInPandas(
+        _lang_quality_kernel, "doc_id long, lang_guess string, quality double"
+    )
     return (
-        kept.withColumn("_p", TX.padded_lower(t))
-        .withColumn("lang_guess", TX.lang_id(F.col("_p"), prepadded=True))
-        .withColumn("quality", F.round(TX.quality_score(t), 6))
-        .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
-        .select("doc_id", "lang_guess", "quality")
+        scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
         # shuffle barrier before the sort: ORDER BY range-samples its child,
-        # and without the barrier that sample job re-executes the regex
-        # scoring stage (the plan's most expensive) a second time; with it,
-        # both the sample and the sort reread the tiny shuffled result
-        # (measured 6s → 3.3s at sf0.1). Same trick as Spark's own
+        # and without the barrier that sample job re-executes the scoring
+        # stage a second time; with it, both the sample and the sort reread
+        # the tiny shuffled result. Same trick as Spark's own
         # rebalance-before-sort at cluster scale.
         .repartition(F.col("doc_id"))
         .orderBy("doc_id")
     )
+
+
+def _lang_quality_kernel(batches):
+    """(doc_id, lang_guess, quality) — vectorized replica of
+    ``TX.lang_id`` + ``TX.quality_score`` (see q_training_data_filter)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    langs = list(TX.LANG_MARKERS)
+    non_alnum = re.compile(r"[^0-9A-Za-z]")
+    for pdf in batches:
+        texts = pdf["text"].tolist()
+        n = len(texts)
+        if n == 0:
+            continue
+        padded = [" " + t.lower() + " " for t in texts]
+        # marker scores per language: str.count = non-overlapping
+        # left-to-right occurrences, exactly the replace-length arithmetic
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for li, lg in enumerate(langs):
+            for m in TX.LANG_MARKERS[lg]:
+                scores[:, li] += np.fromiter(
+                    (p.count(m) for p in padded), dtype=np.int64, count=n
+                )
+        top = scores.max(axis=1)
+        pick = scores.argmax(axis=1)  # first index of the max, like
+        # array_position(scores, array_max(scores))
+        lang = np.where(
+            top > 0, np.asarray(langs, dtype=object)[pick], "und"
+        )
+        length = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        alnum = np.fromiter(
+            (len(non_alnum.sub("", t)) for t in texts), dtype=np.int64, count=n
+        )
+        toks = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=n)
+        from .functions.numeric import round6_half_up
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(length > 0, alnum / length, 0.0)
+        quality = round6_half_up(ratio * np.minimum(1.0, toks / 20.0))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "lang_guess": lang, "quality": quality,
+        })
 
 
 # ---------------------------------------------------------------------------
@@ -2677,14 +2740,14 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (k % 100).cast("string")),
     ).otherwise(F.lit(""))
     text = F.concat(F.col("c_name"), F.lit(" call "), phone, email, ip)
-    d = c.select(k.alias("custkey"), text.alias("t"))
-    return d.select(
+    d = _fan(c).select(k.alias("custkey"), text.alias("t"))
+    return _sorted(d.select(
         "custkey",
         pii_count(F.col("t"), "email").alias("n_email"),
         pii_count(F.col("t"), "ip").alias("n_ip"),
         pii_count(F.col("t"), "phone").alias("n_phone"),
         F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
-    ).orderBy("custkey")
+    ), "custkey")
 
 
 ORACLE_PII_REDACTION = r"""

@@ -248,3 +248,34 @@ def test_ir_broadcast_hint_yields_broadcast_joins(spark):
     # correctness: k%7==0 rows (semi) minus the blocked 100-multiples (anti)
     want = {k for k in range(0, 10_000) if k % 7 == 0 and k % 100 != 0}
     assert {r.k for r in df.collect()} == want
+
+
+def test_holistic_plus_distinct_agg_splits_without_expand(spark):
+    """A group-by mixing percentile/median with COUNT(DISTINCT) must not
+    plan an Expand (which doubles the rows feeding the holistic percentile
+    buffers): the IR splits the distinct aggregate into a second groupBy
+    joined null-safely on the group keys."""
+    from data_sync_tool_spark.plans.query import Field, Query, build_dataframe
+
+    t = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 37).alias("c"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    q = Query(
+        select=[
+            Field("g"),
+            Field("round(percentile(v, 0.5), 4)", "p50"),
+            Field("count(distinct c)", "nc"),
+        ],
+        table="t", group_by=["g"],
+    )
+    df = build_dataframe(spark, q, {"t": t})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    rows = {r["g"]: (r["p50"], r["nc"]) for r in df.collect()}
+    # oracle by hand: group g holds ids g, g+5, ..., distinct c count and median
+    import statistics
+    for g in range(5):
+        ids = [i for i in range(1000) if i % 5 == g]
+        assert rows[g][1] == len({i % 37 for i in ids})
+        assert rows[g][0] == round(statistics.median([i * 1.5 for i in ids]), 4)
