@@ -161,19 +161,21 @@ def minhash_lsh_pairs(
     the skew risk, handled by AQE skew-join; the exact verify only touches
     candidate pairs.
 
-    No ``persist()`` anywhere: caching corpus-sized intermediates (signatures
-    + shingle sets of a 100 TB input are themselves ~corpus-sized) is the
-    anti-pattern, and a lazily-returned plan has no natural unpersist point —
-    repeated calls in a long-lived session would accumulate cached blocks.
-    Instead the banding pass aggregates ONLY what banding needs (minhashes +
-    set size, no shingle arrays) and the verify pass recomputes the shingle
-    sets for its two re-attach joins — bounded extra scans, zero storage
-    footprint, measured at parity with the cached form even at bench scale.
+    No corpus-sized ``persist()`` anywhere: caching signatures + shingle
+    sets of a 100 TB input is the anti-pattern (they are ~corpus-sized).
+    The banding pass aggregates ONLY what banding needs (minhashes + set
+    size, no shingle arrays); the verify pass re-shingles JUST the
+    candidate-pair participants (a semi-join against the materialized
+    candidate ids — at near-dup thresholds candidates ≪ corpus, and at
+    loose thresholds the pass degrades to the former full re-shingle,
+    never worse). The candidate pair table itself (bounded by the pair
+    count, slim ids) is materialized once so the banding pipeline does not
+    re-execute for each of the two re-attach joins.
     """
     # the band self-join carries ONLY (id, set-size, band, band-hash) — the
     # full shingle arrays must not ride the ×bands explode nor both shuffle
     # sides; they are re-attached once per side AFTER candidate dedup
-    banded, sets = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
+    banded, _sets_unused = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
     left = banded.select(F.col("id").alias("a"), F.col("n").alias("na"), "band", "bh")
     right = banded.select(F.col("id").alias("b"), F.col("n").alias("nb"), "band", "bh")
     cands = (
@@ -185,6 +187,20 @@ def minhash_lsh_pairs(
         .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    ids = (
+        cands.select(F.col("a").alias("id"))
+        .unionByName(cands.select(F.col("b").alias("id")))
+        .dropDuplicates()
+    )
+    participants = df.join(
+        ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    sets = (
+        exploded_shingles(participants, text_col, id_col, shingle_k)
+        .groupBy("id")
+        .agg(F.collect_set(F.xxhash64("s")).alias("sh"))
     )
     pairs = (
         cands.join(sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
@@ -206,12 +222,19 @@ def _banded_minhash(
     identical bands regardless of which path computes them."""
     rows_per_band = n_hashes // bands
     ex = exploded_shingles(df, text_col, id_col, shingle_k)
-    sig = ex.dropDuplicates(["id", "s"]).groupBy("id").agg(
+    # ONE partially-aggregated shuffle: min() is duplicate-invariant, so the
+    # seeded mins run over raw occurrences map-side (the former
+    # dropDuplicates pre-pass shuffled every raw shingle STRING first — a
+    # full extra exchange, measured ~1.5x this stage); ``n`` is the distinct
+    # HASHED-shingle count — exactly the set cardinality the jaccard verify
+    # uses (``sh`` is collect_set(xxhash64(s))), so the size-ratio prefilter
+    # bound stays consistent with the verified jaccard.
+    sig = ex.groupBy("id").agg(
         *[
             F.min(_seeded_hash(seed, F.col("s"), "xxhash64")).alias(f"_mh{seed}")
             for seed in range(n_hashes)
         ],
-        F.count(F.lit(1)).alias("n"),
+        F.size(F.collect_set(F.xxhash64("s"))).alias("n"),
     )
     banded = sig.select(
         "id", "n",
@@ -305,8 +328,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle hashes, as 64 JVM ``sum`` aggregates in ONE pass (each map-side
     combined). No Python/pandas anywhere: the bit-unpack is shift/and
     arithmetic, which codegen handles better than an Arrow round-trip."""
-    ex = exploded_shingles(df, text_col, id_col, shingle_k).dropDuplicates(["id", "s"])
-    h = ex.select("id", F.xxhash64("s").alias("h"))
+    # hash BEFORE the distinct: the dedup shuffle then carries 8-byte longs
+    # instead of raw shingle strings (same distinct set absent xxhash64
+    # collisions — the suite's standing assumption; votes consume only the
+    # hash anyway)
+    h = (
+        exploded_shingles(df, text_col, id_col, shingle_k)
+        .select("id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["id", "h"])
+    )
     votes = h.groupBy("id").agg(
         *[
             F.sum(
@@ -337,7 +367,10 @@ def simhash_near_pairs(
     """(a, b, hamming) with hamming ≤ max_hamming. Pigeonhole banding: with 4
     16-bit chunks, any pair within Hamming 3 shares ≥1 exact chunk — join on
     (chunk_idx, chunk_value), verify exact popcount on candidates."""
-    sims = simhash64(df, text_col, id_col, shingle_k)
+    # materialize the (tiny: id + 64-bit hash) signature table once — the
+    # chunk self-join would otherwise execute the whole shingle+vote
+    # pipeline on BOTH sides
+    sims = simhash64(df, text_col, id_col, shingle_k).localCheckpoint()
     chunks = sims.select(
         "id", "simhash",
         F.posexplode(

@@ -71,6 +71,14 @@ def build_session(
     jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
     if jars:
         builder = builder.config("spark.jars", jars)
+    # ad-hoc conf experiments / cluster overrides without code edits:
+    # SPARK_GRAFT_EXTRA_CONF="spark.a=b;spark.c=d"
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra_env:
+        for pair in extra_env.split(";"):
+            k, _, v = pair.partition("=")
+            if k.strip() and v:
+                builder = builder.config(k.strip(), v.strip())
     # local[N] master can only be set before the JVM exists; on a cluster the
     # submit command wins and this is a no-op.
     builder = builder.master(master)

@@ -163,7 +163,10 @@ def refresh_agg_view(
         batch = current.groupBy(group).agg(*agg_cols)
         deletes: DataFrame | None = None
     else:
-        affected = feed.select(group).distinct()
+        # materialize the affected-group keys once: the plan (pruned feed +
+        # distinct) is otherwise re-executed by the probe collect, the
+        # recompute semi-join AND the vanished-group anti-join
+        affected = feed.select(group).distinct().localCheckpoint()
         groups: list[Any] = [
             r[0] for r in affected.limit(max_probe_keys + 1).collect()
         ]
@@ -176,6 +179,12 @@ def refresh_agg_view(
         batch = current.groupBy(group).agg(*agg_cols)
         # groups whose every row was deleted (or filtered out) vanish
         deletes = affected.join(batch.select(group), on=group, how="left_anti")
+    # materialize the recomputed rollup once (it is tiny — one row per
+    # affected group): the upsert union references it twice (batch + the
+    # deletes anti-join) and the view's CoW merge then executes that union
+    # twice more (dirty-bucket pre-scan + snapshot write) — without the
+    # barrier the expensive recompute pipeline runs up to 4x per refresh
+    batch = batch.localCheckpoint()
     out_schema = batch.drop(group).schema
     up = batch.withColumn("op", F.lit("upsert")).withColumn("lsn", F.lit(int(hi)))
     if deletes is not None:
