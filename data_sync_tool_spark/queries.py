@@ -2991,8 +2991,13 @@ def q_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, his = _replayed_lake(spark, sf_dir, n_buckets=16, batches=3,
                               prefix="sync_src_")
+    # MoR view: each refresh appends its recomputed groups as delta files
+    # (O(batch) write, no target read/union/bucket rewrite — the CoW merge
+    # measured ~4 s of machinery per refresh on a 15k-row rollup); the final
+    # read resolves LWW identically (the lake's pinned MoR contract)
     view = LakeTable(
         spark, _scratch_dir("aggv_view_"), ["conv_id"], n_buckets=8,
+        merge_mode="mor",
     )
     aggs = {
         "n_turns": F.count(F.lit(1)),
@@ -3070,8 +3075,11 @@ def q_transcript_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, his = _replayed_lake(spark, sf_dir, n_buckets=16, batches=3,
                               prefix="sync_src_")
+    # MoR view for the same reason as q_agg_view_refresh: delta-append
+    # refreshes, read-side LWW resolve
     view = LakeTable(
         spark, _scratch_dir("tv_view_"), ["conv_id"], n_buckets=8,
+        merge_mode="mor",
     )
     aggs = {
         "n_turns": F.count(F.lit(1)),
