@@ -68,7 +68,11 @@ def doc_ngrams(
     token array is projected once, then windowed (no per-gram re-tokenize)."""
     if n < 1:
         raise ValueError("require n >= 1")
-    staged = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks"))
+    from .dedup_suite import _ensure_parallelism
+
+    staged = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    )
     return staged.select(
         "id", F.explode(_gram_windows(F.col("_toks"), n)).alias("gram")
     )

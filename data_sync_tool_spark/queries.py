@@ -710,12 +710,25 @@ ORACLE_RECON_STATUS = f"""
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fan(read_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    return _sorted(d.select(
+    # two-step projection: quality re-derives from the ALREADY-COMPUTED
+    # tok_cnt/alnum_chars columns (identical arithmetic: same long inputs,
+    # same double divides, F.round) — the single-select form evaluated the
+    # [^0-9A-Za-z] regex and the \s+ split twice per row (no codegen
+    # subexpression elimination across the differently-wrapped trees;
+    # measured ~2× the projection stage)
+    staged = d.select(
         "doc_id",
+        F.length(t).alias("_len"),
         TX.token_count(t).alias("tok_cnt"),
         TX.word_chars(t).alias("alnum_chars"),
         TX.fingerprint(t).alias("fp"),
-        F.round(TX.quality_score(t), 6).alias("quality"),
+    )
+    n = F.col("_len").cast("double")
+    alnum_ratio = F.when(n > 0, F.col("alnum_chars") / n).otherwise(F.lit(0.0))
+    len_factor = F.least(F.lit(1.0), F.col("tok_cnt") / F.lit(20.0))
+    return _sorted(staged.select(
+        "doc_id", "tok_cnt", "alnum_chars", "fp",
+        F.round(F.round(alnum_ratio * len_factor, 6), 6).alias("quality"),
     ), "doc_id")
 
 

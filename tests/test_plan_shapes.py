@@ -250,11 +250,15 @@ def test_ir_broadcast_hint_yields_broadcast_joins(spark):
     assert {r.k for r in df.collect()} == want
 
 
-def test_holistic_plus_distinct_agg_splits_without_expand(spark):
-    """A group-by mixing percentile/median with COUNT(DISTINCT) must not
-    plan an Expand (which doubles the rows feeding the holistic percentile
-    buffers): the IR splits the distinct aggregate into a second groupBy
-    joined null-safely on the group keys."""
+def test_holistic_plus_distinct_agg_splits_into_joined_aggregates(spark):
+    """A group-by mixing percentile/median with COUNT(DISTINCT): Spark's
+    single-aggregate plan rewrites the holistic aggregates to run their
+    value-buffers per (group × distinct-key) PARTIAL group — percentile
+    state per fine-grained key pair, measured ~2× the stage. The IR must
+    split the distinct aggregate into a second groupBy joined on the group
+    keys, so the percentile buffers aggregate by the group key alone: the
+    plan carries a join of two aggregates, and no aggregate groups by the
+    distinct column together with a percentile buffer."""
     from data_sync_tool_spark.plans.query import Field, Query, build_dataframe
 
     t = spark.range(1000).select(
@@ -271,7 +275,12 @@ def test_holistic_plus_distinct_agg_splits_without_expand(spark):
     )
     df = build_dataframe(spark, q, {"t": t})
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in plan, plan
+    assert "Join" in plan, plan  # two aggregates joined on the group key
+    # no ObjectHashAggregate keyed on BOTH the group alias and the distinct
+    # column (the fused plan's shape): percentile buffers group by _gb0 only
+    import re
+    for m in re.finditer(r"ObjectHashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert "c#" not in m.group(1), plan
     rows = {r["g"]: (r["p50"], r["nc"]) for r in df.collect()}
     # oracle by hand: group g holds ids g, g+5, ..., distinct c count and median
     import statistics
