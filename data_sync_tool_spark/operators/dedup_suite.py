@@ -29,17 +29,46 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+# Fan-out break-even input sizes (see _ensure_parallelism). A map pass only
+# deserves its own exchange when the serialized single-core work would exceed
+# the extra stage's fixed latency several-fold. Per-byte cost varies ~30x
+# between a plain projection (md5/substr: tens of MB/s/core) and a shingle or
+# gram explode (one output row per input CHARACTER: ~1 MB/s/core), so the
+# gate is per-callsite: cheap-per-byte ops break even around a few MB of
+# parquet, heavy ones around ~100 KB.
+_FANOUT_MIN_BYTES = 4 << 20
+_FANOUT_MIN_BYTES_HEAVY = 128 << 10
+
+
+def _ensure_parallelism(df: DataFrame, min_bytes: int = _FANOUT_MIN_BYTES) -> DataFrame:
     """Small inputs arrive as one or two parquet splits; the shingle/hash
     passes then run on one core. Fan the rows out to the session's default
     parallelism BEFORE the expensive per-row work (a tiny shuffle of raw
     text). A 100 TB input already has thousands of splits — this is a no-op
     there. Sizing uses ``inputFiles()`` (pure metadata) instead of
-    ``df.rdd.getNumPartitions()``, which forces a plan→RDD conversion."""
+    ``df.rdd.getNumPartitions()``, which forces a plan→RDD conversion.
+
+    ``min_bytes`` gates the fan-out by input size: below it the exchange is
+    pure overhead (the whole map pass costs less than the extra stage's
+    fixed latency — see the break-even notes above). Unsizable inputs
+    (non-file sources) keep the fan-out; the gate is an optimization, not a
+    correctness rule."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) >= target:
         return df
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        try:
+            total = sum(
+                os.path.getsize(urlparse(f).path or f) for f in files
+            )
+            if total < min_bytes:
+                return df
+        except OSError:  # non-local filesystem: size unknown, keep fanning
+            pass
     return df.repartition(target)
 
 
@@ -100,7 +129,9 @@ def exploded_shingles(
     Downstream per-doc sets are rebuilt with ``collect_set`` AFTER hashing the
     shingle to int64 — longs, not strings, cross the shuffle."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), norm.alias("_nt"))
+    base = _ensure_parallelism(df, _FANOUT_MIN_BYTES_HEAVY).select(
+        F.col(id_col).alias("id"), norm.alias("_nt")
+    )
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_nt") - F.lit(k - 1)))
     return base.select("id", "_nt", F.explode(idx).alias("_i")).select(
         "id", F.expr(f"substring(_nt, _i, {k})").alias("s")

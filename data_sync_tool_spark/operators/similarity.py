@@ -37,13 +37,13 @@ def brute_force_topk(
     rows — no shuffle until the (tiny) per-query top-k reduction. Norms are
     attached per side BEFORE the cross join, so each of the |C|×|Q| scored
     pairs pays one HOF aggregate (the dot), not three."""
-    from .dedup_suite import _ensure_parallelism
+    from .dedup_suite import _FANOUT_MIN_BYTES_HEAVY, _ensure_parallelism
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    c = _ensure_parallelism(corpus).select(
+    c = _ensure_parallelism(corpus, _FANOUT_MIN_BYTES_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
@@ -483,9 +483,11 @@ def embedding_near_dup_pairs(
     Pass ``dim`` to skip the one-row probe job that otherwise infers it."""
     if dim is None and n_bits > 0:
         dim = len(df.select(vec_col).first()[0])
-    from .dedup_suite import _ensure_parallelism
+    from .dedup_suite import _FANOUT_MIN_BYTES_HEAVY, _ensure_parallelism
 
-    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _ensure_parallelism(df, _FANOUT_MIN_BYTES_HEAVY).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     bucketed = base.select(
         "id", "v",
         F.posexplode(

@@ -46,11 +46,11 @@ from .decontam import _gram_windows, _tokens
 
 
 def _staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    from .dedup_suite import _ensure_parallelism
+    from .dedup_suite import _FANOUT_MIN_BYTES_HEAVY, _ensure_parallelism
 
     # fan-out before the tokenize+gram explode: the corpus-wide position
     # windowing is the expensive pass and must not run on a 1-2-split read
-    return _ensure_parallelism(df).select(
+    return _ensure_parallelism(df, _FANOUT_MIN_BYTES_HEAVY).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
     )
 

@@ -52,14 +52,23 @@ def _tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, Dat
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
-def _fan(df: DataFrame) -> DataFrame:
+def _fan(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Scale-adaptive fan-out before per-row-heavy projections: a small sf's
     table arrives as 1-4 parquet splits, which would serialize the regex/
     hash/scoring map work regardless of core count; a production input with
-    ≥ parallelism splits passes through untouched."""
-    from .operators.dedup_suite import _ensure_parallelism
+    ≥ parallelism splits passes through untouched. ``heavy`` marks
+    projections whose per-byte cost justifies an exchange even on ~100 KB
+    inputs (multi-regex scoring, gram explodes); plain projections only fan
+    out past the default break-even size (see dedup_suite)."""
+    from .operators.dedup_suite import (
+        _FANOUT_MIN_BYTES,
+        _FANOUT_MIN_BYTES_HEAVY,
+        _ensure_parallelism,
+    )
 
-    return _ensure_parallelism(df)
+    return _ensure_parallelism(
+        df, _FANOUT_MIN_BYTES_HEAVY if heavy else _FANOUT_MIN_BYTES
+    )
 
 
 # --------------------------------------------------------------------------
@@ -708,7 +717,7 @@ ORACLE_RECON_STATUS = f"""
 # ---------------------------------------------------------------------------
 # text analysis over documents
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fan(read_table(spark, sf_dir, "documents"))
+    d = _fan(read_table(spark, sf_dir, "documents"), heavy=True)
     t = F.col("text")
     # two-step projection: quality re-derives from the ALREADY-COMPUTED
     # tok_cnt/alnum_chars columns (identical arithmetic: same long inputs,
@@ -750,7 +759,7 @@ ORACLE_DOC_STATS = r"""
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fan(read_table(spark, sf_dir, "documents"))
+    d = _fan(read_table(spark, sf_dir, "documents"), heavy=True)
     return _sorted(
         d.select("doc_id", TX.padded_lower(F.col("text")).alias("_p"))
         .select("doc_id", TX.lang_id(F.col("_p"), prepadded=True).alias("lang_guess")),
@@ -956,7 +965,7 @@ def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     double can sit exactly on a 1e-6 midpoint)."""
     from .operators.dedup_suite import exact_dedupe
 
-    docs = _fan(read_table(spark, sf_dir, "documents"))
+    docs = _fan(read_table(spark, sf_dir, "documents"), heavy=True)
     kept = exact_dedupe(docs)
     scored = kept.select("doc_id", "text").mapInPandas(
         _lang_quality_kernel, "doc_id long, lang_guess string, quality double"
@@ -2753,7 +2762,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (k % 100).cast("string")),
     ).otherwise(F.lit(""))
     text = F.concat(F.col("c_name"), F.lit(" call "), phone, email, ip)
-    d = _fan(c).select(k.alias("custkey"), text.alias("t"))
+    d = _fan(c, heavy=True).select(k.alias("custkey"), text.alias("t"))
     return _sorted(d.select(
         "custkey",
         pii_count(F.col("t"), "email").alias("n_email"),
