@@ -140,9 +140,17 @@ def refresh_agg_view(
     feed = src.changes_since(-1 if last is None else last, max_lsn=max_lsn)
     if not feed.columns:
         return None
-    hi = feed.agg(F.max(LSN_COL)).first()[0]
-    if hi is None:
+    # ONE pass over the pruned feed serves both the head-lsn probe and the
+    # affected-group set: the former shape (a plain max() job, then a
+    # distinct-groups job) executed the feed scan twice per refresh. The
+    # aggregate is tiny (one row per touched group) and checkpointed once;
+    # every later consumer (probe collect, recompute semi-join, vanished-
+    # group anti-join, head probe) rereads the materialized rows.
+    aff = feed.groupBy(group).agg(F.max(LSN_COL).alias("_hi")).localCheckpoint()
+    head = aff.agg(F.max("_hi")).first()[0]
+    if head is None:
         return None
+    hi = int(head)
     agg_cols = [expr.alias(out) for out, expr in aggs.items()]
     if last is None:
         # bootstrap: every group is affected — aggregate the full live view
@@ -151,7 +159,7 @@ def refresh_agg_view(
         # may already be past the bound, so resolve the as-of-bound state
         # from the bounded feed instead (LWW over every version ≤ max_lsn).
         if max_lsn is None:
-            current = src.read()
+            current = src.read(cluster_first_key=True)
         else:
             from ..operators.dedupe import replay_final_state
 
@@ -163,17 +171,19 @@ def refresh_agg_view(
         batch = current.groupBy(group).agg(*agg_cols)
         deletes: DataFrame | None = None
     else:
-        # materialize the affected-group keys once: the plan (pruned feed +
-        # distinct) is otherwise re-executed by the probe collect, the
-        # recompute semi-join AND the vanished-group anti-join
-        affected = feed.select(group).distinct().localCheckpoint()
+        affected = aff.select(group)
         groups: list[Any] = [
             r[0] for r in affected.limit(max_probe_keys + 1).collect()
         ]
+        # cluster_first_key: the recompute groups by the source's FIRST key
+        # column, so clustering the MoR resolve by it lets the rollup
+        # aggregate reuse that one exchange (2 shuffles → 1 per refresh)
         if len(groups) <= max_probe_keys:
-            current = src.read(keys=groups)
+            current = src.read(keys=groups, cluster_first_key=True)
         else:  # near-rebuild refresh: one scan, semi-joined to the feed
-            current = src.read().join(affected, on=group, how="left_semi")
+            current = src.read(cluster_first_key=True).join(
+                affected, on=group, how="left_semi"
+            )
         if row_filter is not None:
             current = current.filter(row_filter)
         batch = current.groupBy(group).agg(*agg_cols)
@@ -200,4 +210,7 @@ def refresh_agg_view(
         up,
         batch_id=f"{recon}:lsn{int(hi)}",
         lineage_extra={"reconciliation": recon, "watermark": int(hi)},
+        # the batch is one row per group by construction (per-key aggregate
+        # ∪ anti-joined deletes, disjoint keys) — skip the merge's dedupe
+        unique_keys=True,
     )

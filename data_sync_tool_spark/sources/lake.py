@@ -619,6 +619,7 @@ class LakeTable:
         as_of: Any | None = None,
         key_ranges_col: str | None = None,
         apply_ttl: bool = False,
+        cluster_first_key: bool = False,
     ) -> DataFrame:
         """Snapshot read of the latest (or pinned) version, optionally pruned
         to a bucket subset via the manifest (no directory listing — the
@@ -782,6 +783,17 @@ class LakeTable:
             # This also makes a strategy switch safe — a table carrying
             # unresolved MoR upsert deltas that starts receiving collapse
             # batches resolves all pending versions in one rule.
+            if cluster_first_key:
+                # pre-partition the resolve by the FIRST key column: hash-
+                # partitioning on a key subset satisfies the full-key
+                # clustering the LWW aggregate needs, so a consumer that
+                # groups/joins by the first key afterwards (agg-view
+                # recompute, transcript render) rides this one exchange
+                # instead of paying a second. Shuffle bytes are unchanged —
+                # each commit lands a key's versions in different files, so
+                # the aggregate exchange's map-side partials almost never
+                # combine anything anyway.
+                df = df.repartition(F.col(self.key_cols[0]))
             df = self._resolve_lww(df)
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
@@ -1516,6 +1528,7 @@ class LakeTable:
         strategy: str = "upsert",
         allow_delete: bool = True,
         lineage_extra: dict[str, Any] | None = None,
+        unique_keys: bool = False,
     ) -> MergeResult:
         """Apply one change batch. ``batch_df`` columns = data columns +
         ``op_col`` ∈ {insert, update, upsert, delete} + monotone ``lsn_col``.
@@ -1524,6 +1537,13 @@ class LakeTable:
                      LWW-reduce, rewrite only dirty buckets.
         upsert/MoR : append the deduped batch as delta files — write cost is
                      O(batch) regardless of table size; reads resolve.
+
+        ``unique_keys``: the caller guarantees the batch already holds at
+        most ONE row per key (e.g. it is the output of a per-key aggregate).
+        Skips the within-batch LWW dedupe — one full shuffle of the batch —
+        on the upsert path. Purely an optimization hint; a violated
+        guarantee degrades to both versions landing as deltas and the READ
+        side's LWW resolve picking one, never a corrupt table.
         """
         if batch_id in self.committed_batch_ids():
             return MergeResult(self.current_version(), batch_id, False)
@@ -1588,8 +1608,11 @@ class LakeTable:
             return self._merge_delete_insert(batch, batch_id, stats, lineage_extra, dirty)
 
         # -------- upsert: dedupe batch to one row per key with tombstones
-        deduped = self._resolve_lww(
-            batch.withColumn(DELETED_COL, F.col("_op") == F.lit("delete")).drop("_op")
+        tombstoned = batch.withColumn(
+            DELETED_COL, F.col("_op") == F.lit("delete")
+        ).drop("_op")
+        deduped = (
+            tombstoned if unique_keys else self._resolve_lww(tombstoned)
         ).withColumn(BUCKET_COL, self._bucket_col())
 
         m = self._load_manifest()

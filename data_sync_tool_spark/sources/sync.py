@@ -85,6 +85,11 @@ def sync_step(
     feed = src.changes_since(last, max_lsn=max_lsn)
     if not feed.columns:  # source has never committed
         return None
+    # materialize the pruned feed once: the head-lsn probe below and the
+    # merge's dedupe+write otherwise each execute the feed scan. The
+    # checkpoint is batch-sized (O(new commits) — the sync contract), never
+    # table-sized.
+    feed = feed.localCheckpoint()
     hi = feed.agg(F.max(LSN_COL)).first()[0]
     if hi is None:
         return None
