@@ -23,6 +23,7 @@ from data_sync_tool_spark.sources.lake import LakeTable
 from data_sync_tool_spark.sources.registry import (
     CHANGELOG_SELECT_SQL,
     changelog,
+    changelog_max_lsn,
     read_table,
     register_views,
 )
@@ -44,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
     table = LakeTable(
         spark, tempfile.mkdtemp(prefix="dst_entry_"), ["conv_id", "turn_idx"], n_buckets=16
     )
-    n = ch.agg(F.max("lsn")).first()[0] + 1
+    n = changelog_max_lsn(spark, sf_dir) + 1
     step = max(1, n // 4)
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
@@ -61,7 +62,7 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="dst_q_"), ["conv_id", "turn_idx"],
         n_buckets=32, checksum=True,  # incremental digest: O(batch) per commit
     )
-    n = ch.agg(F.max("lsn")).first()[0] + 1
+    n = changelog_max_lsn(spark, sf_dir) + 1
     step = max(1, n // 4)
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
@@ -81,7 +82,7 @@ def _q_cdc_collapse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable(
         spark, tempfile.mkdtemp(prefix="dst_cl_"), ["conv_id", "turn_idx"], n_buckets=16
     )
-    n = ch.agg(F.max("lsn")).first()[0] + 1
+    n = changelog_max_lsn(spark, sf_dir) + 1
     step = max(1, n // 4)
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))

@@ -206,7 +206,7 @@ def minhash_lsh_pairs(
     # the band self-join carries ONLY (id, set-size, band, band-hash) — the
     # full shingle arrays must not ride the ×bands explode nor both shuffle
     # sides; they are re-attached once per side AFTER candidate dedup
-    banded, _sets_unused = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
+    banded = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
     left = banded.select(F.col("id").alias("a"), F.col("n").alias("na"), "band", "bh")
     right = banded.select(F.col("id").alias("b"), F.col("n").alias("nb"), "band", "bh")
     cands = (
@@ -246,12 +246,12 @@ def minhash_lsh_pairs(
 def _banded_minhash(
     df: DataFrame, text_col: str, id_col: str,
     n_hashes: int, bands: int, shingle_k: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(banded, sets) building blocks shared by the batch and incremental
-    minhash paths: ``banded`` = (id, n, band, bh) slim band rows, ``sets`` =
-    (id, sh) int64 shingle sets. Deterministic — identical inputs produce
-    identical bands regardless of which path computes them."""
-    rows_per_band = n_hashes // bands
+) -> DataFrame:
+    """``banded`` = (id, n, band, bh) slim band rows for the batch path —
+    the one aggregation pass here deliberately does NOT collect the shingle
+    sets (the batch verify re-shingles candidate participants only, so the
+    set arrays never cross this shuffle). Deterministic — identical inputs
+    produce identical bands regardless of which path computes them."""
     ex = exploded_shingles(df, text_col, id_col, shingle_k)
     # ONE partially-aggregated shuffle: min() is duplicate-invariant, so the
     # seeded mins run over raw occurrences map-side (the former
@@ -267,7 +267,32 @@ def _banded_minhash(
         ],
         F.size(F.collect_set(F.xxhash64("s"))).alias("n"),
     )
-    banded = sig.select(
+    return _bands_of(sig, n_hashes, bands)
+
+
+def _combined_minhash(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, shingle_k: int,
+) -> DataFrame:
+    """(id, _mh0.._mhN, sh, n) in ONE shingle pass + ONE aggregation — the
+    index/incremental building block where both the band signatures AND the
+    exact shingle sets are needed (computing them as two aggregations runs
+    the whole shingle explode twice)."""
+    ex = exploded_shingles(df, text_col, id_col, shingle_k)
+    return ex.groupBy("id").agg(
+        *[
+            F.min(_seeded_hash(seed, F.col("s"), "xxhash64")).alias(f"_mh{seed}")
+            for seed in range(n_hashes)
+        ],
+        F.collect_set(F.xxhash64("s")).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+
+
+def _bands_of(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, n, band, bh) from a signature frame carrying _mh0.._mhN and n.
+    Same band-hash composition on every path (batch, index build, new-batch
+    incremental), which is what keeps their candidate sets identical."""
+    rows_per_band = n_hashes // bands
+    return sig.select(
         "id", "n",
         F.posexplode(
             F.array(
@@ -279,8 +304,6 @@ def _banded_minhash(
             )
         ).alias("band", "bh"),
     )
-    sets = ex.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("sh"))
-    return banded, sets
 
 
 def minhash_index_write(
@@ -298,14 +321,23 @@ def minhash_index_write(
     (exact-Jaccard verify) — cost O(new batch + candidates), not O(corpus).
 
     Layout: ``{path}/bands`` = (id, n, band, bh) bucketed into band files;
-    ``{path}/sets`` = (id, sh). ``{path}/meta`` records the hash parameters —
-    an incremental query MUST use the same ones (enforced on read)."""
-    banded, sets = _banded_minhash(df, text_col, id_col, n_hashes, bands, shingle_k)
-    banded.repartition(F.col("band"), F.col("bh")).write.mode("overwrite").parquet(
-        f"{path}/bands"
-    )
-    sets.write.mode("overwrite").parquet(f"{path}/sets")
-    meta = df.sparkSession.createDataFrame(
+    ``{path}/sets`` = (id, sh) plus the minhash signature columns (readers
+    column-prune what they don't need). ``{path}/meta`` records the hash
+    parameters — an incremental query MUST use the same ones (enforced on
+    read).
+
+    Build cost is ONE pass over the corpus text: the combined aggregate
+    (signatures + shingle sets) lands in ``sets``, and ``bands`` derives
+    from the STORED signature columns — the former two-aggregation shape
+    ran the full shingle explode twice (once per output)."""
+    comb = _combined_minhash(df, text_col, id_col, n_hashes, shingle_k)
+    comb.write.mode("overwrite").parquet(f"{path}/sets")
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/sets").drop("sh")
+    _bands_of(stored, n_hashes, bands).repartition(
+        F.col("band"), F.col("bh")
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    meta = spark.createDataFrame(
         [(n_hashes, bands, shingle_k)], "n_hashes int, bands int, shingle_k int"
     )
     meta.write.mode("overwrite").parquet(f"{path}/meta")
@@ -326,9 +358,14 @@ def minhash_lsh_pairs_incremental(
     ``minhash_lsh_pairs(corpus ∪ new)`` exactly (pytest-asserted)."""
     spark = new_docs.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").first()
-    banded_new, sets_new = _banded_minhash(
-        new_docs, text_col, id_col, meta["n_hashes"], meta["bands"], meta["shingle_k"]
-    )
+    # one shingle pass over the new batch, materialized once (batch-sized —
+    # the ingest-crawl contract): both the band join and the verify join
+    # consume it, where the former shape re-ran the explode+agg per side
+    comb_new = _combined_minhash(
+        new_docs, text_col, id_col, meta["n_hashes"], meta["shingle_k"]
+    ).localCheckpoint()
+    banded_new = _bands_of(comb_new, meta["n_hashes"], meta["bands"])
+    sets_new = comb_new.select("id", "sh")
     corpus_bands = spark.read.parquet(f"{index_path}/bands")
     corpus_sets = spark.read.parquet(f"{index_path}/sets")
     cands = (

@@ -132,7 +132,7 @@ def _replayed_lake(
     import os
 
     from .sources.lake import LakeTable
-    from .sources.registry import changelog
+    from .sources.registry import changelog, changelog_max_lsn
 
     key = ("replay", os.path.abspath(sf_dir), n_buckets, batches,
            bloom_filters, tuple(stats_columns))
@@ -145,7 +145,7 @@ def _replayed_lake(
             bloom_filters=bloom_filters,
             stats_columns=list(stats_columns),
         )
-        n = ch.agg(F.max("lsn")).first()[0] + 1
+        n = changelog_max_lsn(spark, sf_dir) + 1
         step = max(1, n // batches)
         his: list[int] = []
         for i, lo in enumerate(range(0, n, step)):
@@ -3216,7 +3216,7 @@ def q_cdc_quarantine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest VALID version; deletes are exempt. Final live state ≡ LWW over
     (deletes ∪ valid upserts), which the DuckDB oracle states directly."""
     from .sources.lake import LakeTable
-    from .sources.registry import changelog
+    from .sources.registry import changelog, changelog_max_lsn
 
     ch = changelog(spark, sf_dir)
     table = LakeTable(
@@ -3224,7 +3224,7 @@ def q_cdc_quarantine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_mode="mor", constraints={"text_len": "length(text) <= 20"},
         on_violation="quarantine",
     )
-    n = ch.agg(F.max("lsn")).first()[0] + 1
+    n = changelog_max_lsn(spark, sf_dir) + 1
     step = max(1, n // 2)
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))
@@ -3264,14 +3264,14 @@ def q_cdc_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite job; rows_expired in lineage). The served state must equal the
     LWW final state restricted to unexpired rows."""
     from .sources.lake import LakeTable
-    from .sources.registry import changelog
+    from .sources.registry import changelog, changelog_max_lsn
 
     ch = changelog(spark, sf_dir)
     table = LakeTable(
         spark, _scratch_dir("ttl_"), ["conv_id", "turn_idx"], n_buckets=8,
         merge_mode="mor", ttl="ts < timestamp'2024-01-08'",
     )
-    n = ch.agg(F.max("lsn")).first()[0] + 1
+    n = changelog_max_lsn(spark, sf_dir) + 1
     step = max(1, n // 2)
     for i, lo in enumerate(range(0, n, step)):
         batch = ch.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + step))

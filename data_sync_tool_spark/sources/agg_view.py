@@ -137,6 +137,8 @@ def refresh_agg_view(
     if not aggs:
         raise ValueError("aggs must name at least one aggregate expression")
     last = agg_view_watermark(view, name)
+    if max_lsn is not None and last is not None and last >= max_lsn:
+        return None  # refreshed through the bound: feed provably empty
     feed = src.changes_since(-1 if last is None else last, max_lsn=max_lsn)
     if not feed.columns:
         return None

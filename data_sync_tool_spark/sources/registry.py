@@ -58,3 +58,39 @@ def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The binlog-style change stream derived from ``events``."""
     read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(CHANGELOG_SELECT_SQL)
+
+
+def changelog_max_lsn(spark: SparkSession, sf_dir: str) -> int:
+    """Exact max lsn of the change stream without a Spark job where
+    possible: ``lsn == event_id`` by construction (CHANGELOG_SELECT_SQL),
+    and parquet footers carry exact min/max statistics for int64 columns —
+    a driver-side metadata read replaces the full-scan ``agg(max(lsn))``
+    every replay harness otherwise pays before batching. Falls back to the
+    scan when stats are missing or the layout is unexpected."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/events.parquet"
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        mx: int | None = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("event_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("missing column stats")
+                mx = int(st.max) if mx is None else max(mx, int(st.max))
+        if mx is not None:
+            return mx
+    except Exception:  # noqa: BLE001 — stats probe is best-effort
+        pass
+    from pyspark.sql import functions as F
+
+    return changelog(spark, sf_dir).agg(F.max("lsn")).first()[0]

@@ -82,6 +82,12 @@ def sync_step(
         )
     last = sync_watermark(dst, name)
     last = initial_lsn if last is None else last
+    if max_lsn is not None and last >= max_lsn:
+        # already synced through the bound: changes_since(last, max_lsn)
+        # filters _lsn > last AND _lsn <= max_lsn — provably empty, so the
+        # bounded drain loop terminates on a manifest read alone (no probe
+        # job over the feed)
+        return None
     feed = src.changes_since(last, max_lsn=max_lsn)
     if not feed.columns:  # source has never committed
         return None
