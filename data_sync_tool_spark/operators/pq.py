@@ -176,6 +176,8 @@ def pq_topk(
     code_col: str = "codes",
     max_queries: int = 65_536,
     distributed_luts: bool = False,
+    lut_slice_bytes: int = 64 << 20,
+    max_lut_slices: int = 64,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc) approximate top-k by asymmetric
     distance: the corpus side is the CODES table only. Each query's m×k
@@ -187,21 +189,53 @@ def pq_topk(
 
     The driver-side LUT build bounds the query batch at ``max_queries``
     (serving-sized; past it the collect itself is the bottleneck) and
-    raises past the bound. For CORPUS-sized query sets pass
+    raises past the bound. For LARGER query sets pass
     ``distributed_luts=True``: LUTs are built executor-side by an
-    Arrow-batched UDF and the query side joins as a regular (non-broadcast)
-    relation — no driver collect anywhere; the all-pairs scoring join is
-    then the (intended) cost. Both paths score identically
-    (pytest-pinned); for sub-all-pairs scaling use ``ivfpq_topk``."""
+    Arrow-batched UDF, the query set is hash-partitioned into slices of
+    ≤ ``lut_slice_bytes`` of LUT payload, and EACH slice joins with an
+    explicit broadcast hint — the non-equi scoring join must always plan
+    as a *Broadcast*NestedLoopJoin (plan-pinned); without the hint a
+    LUT relation past the autoBroadcast size estimate silently degrades
+    to a CartesianProduct with the corpus side replicated per partition
+    pair. Past ``max_lut_slices`` slices (~4 GB of LUTs at the defaults)
+    the flat all-pairs scan is the wrong tool and this raises, pointing
+    at ``ivfpq_topk`` (bucketed, sub-all-pairs). Both paths score
+    identically (pytest-pinned)."""
     books = np.asarray(books, dtype=np.float64)
     m, kk, dsub = books.shape
     spark = codes.sparkSession
     if distributed_luts:
+        n_q = queries.select(id_col).count()
+        if n_q == 0:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, adc double"
+            )
+        lut_bytes = m * kk * 8  # doubles per query LUT
+        slice_rows = max(1, lut_slice_bytes // lut_bytes)
+        n_slices = -(-n_q // slice_rows)
+        if n_slices > max_lut_slices:
+            raise ValueError(
+                f"pq_topk(distributed_luts=True) would need {n_slices} "
+                f"broadcast LUT slices for {n_q} queries "
+                f"(> max_lut_slices={max_lut_slices}); a flat ADC scan at "
+                f"this size is the wrong shape — use ivfpq_topk (bucketed) "
+                f"or raise lut_slice_bytes/max_lut_slices deliberately."
+            )
         bc = spark.sparkContext.broadcast(books)
-        qdf = queries.select(
-            F.col(id_col).alias("query_id"),
-            _lut_udf(bc)(F.col(vec_col)).alias("lut"),
-        )
+
+        def _slice(i: int) -> DataFrame:
+            # deterministic hash slicing BELOW the LUT projection: the
+            # filter prunes before the Arrow UDF, so LUT work totals one
+            # pass over the queries across all slices
+            sliced = queries if n_slices == 1 else queries.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)) == F.lit(i)
+            )
+            return F.broadcast(sliced.select(
+                F.col(id_col).alias("query_id"),
+                _lut_udf(bc)(F.col(vec_col)).alias("lut"),
+            ))
+
+        slices = [_slice(i) for i in range(n_slices)]
     else:
         q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
         if len(q_rows) > max_queries:
@@ -223,29 +257,35 @@ def pq_topk(
                 for sub in range(m)
             ]
             luts.append((row[id_col], lut))
-        qdf = F.broadcast(spark.createDataFrame(
+        slices = [F.broadcast(spark.createDataFrame(
             luts, "query_id long, lut array<array<double>>"
-        ))
-    scored = (
-        codes.select(F.col(id_col).alias("neighbor_id"), F.col(code_col))
-        .join(qdf, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(code_col),
-                        F.col("lut"),
-                        lambda c, lut: F.element_at(lut, c + F.lit(1)),
+        ))]
+
+    def _score(qdf: DataFrame) -> DataFrame:
+        return (
+            codes.select(F.col(id_col).alias("neighbor_id"), F.col(code_col))
+            .join(qdf, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(code_col),
+                            F.col("lut"),
+                            lambda c, lut: F.element_at(lut, c + F.lit(1)),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("adc"),
+                    6,
+                ).alias("adc"),
+            )
         )
-    )
+
+    scored = _score(slices[0])
+    for s in slices[1:]:  # slices partition the query set: union is exact
+        scored = scored.unionByName(_score(s))
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
@@ -359,13 +399,17 @@ def pq_topk_indexed(
     vec_col: str = "embedding",
     max_queries: int = 65_536,
     distributed_luts: bool = False,
+    lut_slice_bytes: int = 64 << 20,
+    max_lut_slices: int = 64,
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index — reads codes only. Query
     batch bounds / distributed-LUT path as in :func:`pq_topk`."""
     books = pq_read_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, queries, books, k, id_col, vec_col,
-                   max_queries=max_queries, distributed_luts=distributed_luts)
+                   max_queries=max_queries, distributed_luts=distributed_luts,
+                   lut_slice_bytes=lut_slice_bytes,
+                   max_lut_slices=max_lut_slices)
 
 
 # ------------------------------------------------------------------- IVF-PQ
